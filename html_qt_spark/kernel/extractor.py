@@ -1,0 +1,165 @@
+"""Main-content span extraction over the flat DOM arrays.
+
+The reference stops at tree construction (its only sink is a debug dump,
+html-qt/htmltree.cpp:92-98); BASELINE.json's north_star adds the extraction
+stage: "apply text-density and link-density boilerplate heuristics to emit
+ordered (kind, text, media_ref, offset) spans per document".  The heuristics
+here follow the *published* boilerpipe (Kohlschütter et al., WSDM 2010) and
+jusText (Pomikálek 2011) ideas in a deterministic, fixture-pinnable form:
+
+1. Walk the DOM in document order, skipping non-content subtrees
+   (script/style/head/template/... plus the semantic boilerplate containers
+   nav/header/footer/aside).
+2. Group text by nearest block-level ancestor -> text blocks.
+3. Score each block: word count + link density (words under <a>).
+4. Keep blocks with ``link_density <= max_link_density`` and
+   ``n_words >= min_words``; drop the rest as boilerplate.
+5. Media elements (img/video/audio/embed/source with a source ref) emit
+   ``kind='media'`` spans at their document position, so text and media
+   interleave in source order.
+
+All thresholds are explicit keyword parameters so golden fixtures stay
+stable (FIXTURES.md §5).
+"""
+
+from __future__ import annotations
+
+import re
+
+from .treebuilder import TreeBuilder, parse
+
+# subtrees that never contribute extractable content
+SKIP_SUBTREES = frozenset(
+    """#comment #doctype script style template noscript iframe noembed
+    noframes select textarea head title datalist""".split()
+)
+
+# semantic boilerplate containers (jusText/boilerpipe structural prior)
+BOILERPLATE_CONTAINERS = frozenset("nav header footer aside".split())
+
+# block-level grouping tags: a text run belongs to its nearest such ancestor
+BLOCK_TAGS = frozenset(
+    """address article aside blockquote body caption center dd details dialog
+    dir div dl dt fieldset figcaption figure footer form h1 h2 h3 h4 h5 h6
+    header hgroup hr html li main menu nav ol p plaintext pre section summary
+    table tbody td tfoot th thead tr ul xmp""".split()
+)
+
+MEDIA_TAGS = {
+    # tag -> attribute carrying the media reference
+    "img": "src",
+    "video": "src",
+    "audio": "src",
+    "embed": "src",
+    "source": "src",
+    "track": "src",
+    "object": "data",
+}
+
+_WS_COLLAPSE = re.compile(r"[ \t\n\f\r]+")
+
+
+def _norm(text: str) -> str:
+    return _WS_COLLAPSE.sub(" ", text).strip()
+
+
+def extract_spans(
+    tb: TreeBuilder,
+    *,
+    max_link_density: float = 0.5,
+    min_words: int = 1,
+    keep_boilerplate_containers: bool = False,
+) -> list[tuple[str, str | None, str | None]]:
+    """DOM arrays -> ordered list of (kind, text, media_ref) spans."""
+    tag = tb.tag
+    children = tb.children
+    text = tb.text
+    attrs = tb.attrs
+
+    # events in document order: ("block_text", block_id, text, in_link)
+    #                        or ("media", ref, alt_text)
+    events: list[tuple] = []
+    # iterative DFS with (node, block_id, link_depth, boiler_depth)
+    stack: list[tuple[int, int, int, int]] = [(0, 0, 0, 0)]
+    while stack:
+        nid, block_id, link_depth, boiler_depth = stack.pop()
+        t = tag[nid]
+        if t in SKIP_SUBTREES:
+            continue
+        if t == "#text":
+            if boiler_depth == 0 or keep_boilerplate_containers:
+                events.append(("text", block_id, text[nid], link_depth > 0))
+            continue
+        if t in MEDIA_TAGS:
+            ref = next((v for k, v in (attrs[nid] or [])
+                        if k == MEDIA_TAGS[t]), None)
+            if ref and (boiler_depth == 0 or keep_boilerplate_containers):
+                alt = next((v for k, v in (attrs[nid] or []) if k == "alt"),
+                           None)
+                events.append(("media", nid, ref, alt))
+            # fall through: <object>/<video> children may hold text/sources
+        if t in BOILERPLATE_CONTAINERS:
+            boiler_depth += 1
+        if t == "a":
+            link_depth += 1
+        if t in BLOCK_TAGS:
+            block_id = nid
+        for ch in reversed(children[nid]):
+            stack.append((ch, block_id, link_depth, boiler_depth))
+
+    # assemble blocks in document order, interleaving media spans
+    spans: list[tuple[str, str | None, str | None]] = []
+    cur_block = -1
+    cur_parts: list[str] = []
+    cur_link_words = 0
+    cur_words = 0
+
+    def flush() -> None:
+        nonlocal cur_parts, cur_link_words, cur_words
+        if cur_parts:
+            block_text = _norm("".join(cur_parts))
+            if block_text:
+                n = cur_words if cur_words else 1
+                density = cur_link_words / n
+                if cur_words >= min_words and density <= max_link_density:
+                    spans.append(("text", block_text, None))
+        cur_parts = []
+        cur_link_words = 0
+        cur_words = 0
+
+    for ev in events:
+        if ev[0] == "text":
+            _, block_id, data, in_link = ev
+            if block_id != cur_block:
+                flush()
+                cur_block = block_id
+            cur_parts.append(data)
+            w = len(data.split())
+            cur_words += w
+            if in_link:
+                cur_link_words += w
+        else:  # media
+            _, _nid, ref, alt = ev
+            flush()
+            cur_block = -1
+            spans.append(("media", _norm(alt) if alt else None, ref))
+    flush()
+    return spans
+
+
+def extract_html(
+    html_text: str,
+    *,
+    reference_compat: bool = False,
+    max_link_density: float = 0.5,
+    min_words: int = 1,
+) -> list[tuple[str, str | None, str | None]]:
+    """One-shot: HTML string -> ordered (kind, text, media_ref) spans.
+
+    This is the fused tokenize+build+extract path the Spark UDF batches
+    (engine equivalent of HTMLParser::parse, html-qt/htmlparser.cpp:51-58,
+    plus the span sink the reference lacks)."""
+    tb = parse(html_text, reference_compat=reference_compat,
+               collect_errors=False)
+    return extract_spans(tb, max_link_density=max_link_density,
+                         min_words=min_words)

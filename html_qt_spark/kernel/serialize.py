@@ -1,0 +1,36 @@
+"""Golden-tree serializer (html5lib ``.dat`` tree-construction format).
+
+Replaces the reference's debug dump (html-qt/htmltree.cpp:92-98 — which
+crashes on the document node's unset token) with the standard conformance
+serialization: 2-space indent per depth, ``<name>`` elements, quoted text,
+``name="value"`` attribute lines sorted by name.
+"""
+
+from __future__ import annotations
+
+from .treebuilder import TreeBuilder
+
+
+def serialize_tree(tb: TreeBuilder) -> str:
+    lines: list[str] = []
+
+    def walk(nid: int, depth: int) -> None:
+        t = tb.tag[nid]
+        pad = "| " + "  " * depth
+        if t == "#text":
+            lines.append(f'{pad}"{tb.text[nid]}"')
+        elif t == "#comment":
+            lines.append(f"{pad}<!-- {tb.text[nid]} -->")
+        elif t == "#doctype":
+            name = tb.text[nid] or ""
+            lines.append(f"{pad}<!DOCTYPE {name}>".replace(" >", ">"))
+        else:
+            lines.append(f"{pad}<{t}>")
+            for k, v in sorted(tb.attrs[nid] or []):
+                lines.append(f'{pad}  {k}="{v}"')
+        for ch in tb.children[nid]:
+            walk(ch, depth + 1)
+
+    for ch in tb.children[0]:
+        walk(ch, 0)
+    return "\n".join(lines)

@@ -1,0 +1,1718 @@
+"""WHATWG HTML5 tree construction over flat parent-pointer arrays.
+
+The reference implements only 2 of 23 insertion modes (Initial, BeforeHTML —
+html-qt/htmlparser.cpp:19-41; the other 21 are the accept-and-ignore base
+class htmlabstractphase.cpp:59-92) and has hooks but no code for the active
+formatting elements list and the adoption agency algorithm (nearest hook:
+``reparentChildren``, html-qt/htmltree.cpp:126-132).  This module implements
+the full text-affecting tree-construction algorithm from the public WHATWG
+spec (the reference cites it directly, e.g. htmltokenizer.cpp:109), as
+BASELINE.json's north_star requires: insertion modes, active formatting
+elements, adoption agency, foster parenting, implied end tags, and the
+"reset the insertion mode appropriately" procedure.
+
+Storage is columnar, not object-per-node (north_star: "lightweight DOM
+arrays (parent-pointer + tag/attr columns, no per-row Python objects)"):
+parallel Python lists ``tag / parent / children / attrs / text`` indexed by
+int node id, mirroring the reference's ``HTMLTree`` ownership model
+(html-qt/htmltree.h:58-95) with the open-elements stack as a transient int
+list (htmltree.h:94).  Text is stored in dedicated ``#text`` nodes (the
+reference accumulates text on elements, htmltree.cpp:115-119; we keep real
+text nodes so document order between text and child elements survives —
+required for ordered span emission).
+
+Node sentinel tags: ``#document``, ``#text``, ``#comment``, ``#doctype``.
+"""
+
+from __future__ import annotations
+
+from .tokenizer import HTMLTokenizer
+
+# -------------------------------------------------------------- categories
+
+VOID_ELEMENTS = frozenset(
+    "area base basefont bgsound br col embed hr img input keygen link menuitem "
+    "meta param source track wbr".split()
+)
+
+FORMATTING = frozenset(
+    "a b big code em font i nobr s small strike strong tt u".split()
+)
+
+# WHATWG "special" category (HTML namespace subset; foreign content is
+# handled as plain elements).
+SPECIAL = frozenset(
+    """address applet area article aside base basefont bgsound blockquote body
+    br button caption center col colgroup dd details dir div dl dt embed
+    fieldset figcaption figure footer form frame frameset h1 h2 h3 h4 h5 h6
+    head header hgroup hr html iframe img input isindex li link listing main
+    marquee menu menuitem meta nav noembed noframes noscript object ol p param
+    plaintext pre script section select source style summary table tbody td
+    template textarea tfoot th thead title tr track ul wbr xmp""".split()
+)
+
+_SCOPE_DEFAULT = frozenset(
+    "applet caption html table td th marquee object template".split()
+)
+_SCOPE_LIST_ITEM = _SCOPE_DEFAULT | {"ol", "ul"}
+_SCOPE_BUTTON = _SCOPE_DEFAULT | {"button"}
+_SCOPE_TABLE = frozenset({"html", "table", "template"})
+
+IMPLIED_END = frozenset("dd dt li optgroup option p rb rp rt rtc".split())
+IMPLIED_END_THOROUGH = IMPLIED_END | frozenset(
+    "caption colgroup tbody td tfoot th thead tr".split()
+)
+
+# block elements that close an open <p> (in-body start-tag group)
+_P_CLOSERS = frozenset(
+    """address article aside blockquote center details dialog dir div dl
+    fieldset figcaption figure footer header hgroup main menu nav ol p
+    section summary ul""".split()
+)
+_HEADINGS = frozenset("h1 h2 h3 h4 h5 h6".split())
+
+_TABLE_CTX = frozenset("table tbody tfoot thead tr".split())
+
+MARKER = -1  # active-formatting-elements scope marker
+
+# Open-elements depth cap (browsers cap DOM depth similarly; WebKit uses
+# 512).  Elements past the cap are inserted into the tree but NOT pushed,
+# which bounds every scope scan to O(MAX_DEPTH) and keeps pathological
+# inputs (e.g. 10k unclosed <div>s in crawled garbage) linear instead of
+# quadratic — at 10^12-doc scale such docs are a certainty and one of them
+# must not stall an executor (cf. the reference's fatal no-progress guard,
+# html-qt/htmltokenizer.cpp:66-80, which we must do better than).
+MAX_DEPTH = 512
+
+_WS = "\t\n\f\r "
+
+
+class TreeBuilder:
+    """Single-document tree builder; instantiate per document."""
+
+    def __init__(self, *, reference_compat: bool = False,
+                 collect_errors: bool = True) -> None:
+        self.reference_compat = reference_compat
+        self.collect_errors = collect_errors
+        # columnar node storage
+        self.tag: list[str] = ["#document"]
+        self.parent: list[int] = [-1]
+        self.children: list[list[int]] = [[]]
+        self.attrs: list[list[tuple[str, str]] | None] = [None]
+        self.text: list[str | None] = [None]
+        # parser state
+        self.open_elements: list[int] = []
+        self.active_formatting: list[tuple[int, tuple] | int] = []
+        self.mode = "initial"
+        self.original_mode = ""
+        self.frameset_ok = True
+        self.foster_parenting = False
+        self.head_id: int = -1
+        self.form_id: int = -1
+        self.pending_table_text: list[str] = []
+        self.ignore_lf = False  # skip LF right after <pre>/<listing>/<textarea>
+        self.quirks_mode = "no-quirks"
+        self.doctype: tuple | None = None
+        self.errors: list[str] = []
+        self.done = False
+
+    # ------------------------------------------------------------ plumbing
+
+    def _err(self, code: str) -> None:
+        if self.collect_errors:
+            self.errors.append(code)
+
+    def _new_node(self, tag: str, attrs=None, text=None) -> int:
+        nid = len(self.tag)
+        self.tag.append(tag)
+        self.parent.append(-1)
+        self.children.append([])
+        self.attrs.append(attrs)
+        self.text.append(text)
+        return nid
+
+    def _append(self, child: int, parent_id: int) -> None:
+        # HTMLTree::appendChild (html-qt/htmltree.cpp:110-113)
+        self.parent[child] = parent_id
+        self.children[parent_id].append(child)
+
+    def _detach(self, child: int) -> None:
+        p = self.parent[child]
+        if p != -1:
+            try:
+                self.children[p].remove(child)
+            except ValueError:
+                pass
+        self.parent[child] = -1
+
+    def _current(self) -> int:
+        return self.open_elements[-1]
+
+    def _insertion_place(self, override: int | None = None) -> tuple[int, int | None]:
+        """WHATWG 'appropriate place for inserting a node'.
+        Returns (parent_id, index_or_None) — None index = append.
+        Implements the foster-parenting path the reference stubs out
+        (vestigial ``m_insertFromTable`` flag, html-qt/htmltree.h:88)."""
+        target = override if override is not None else self._current()
+        if self.foster_parenting and self.tag[target] in _TABLE_CTX:
+            # last <table> in the open stack
+            table_id = None
+            for nid in reversed(self.open_elements):
+                if self.tag[nid] == "table":
+                    table_id = nid
+                    break
+            if table_id is None:
+                return self.open_elements[0], None
+            tp = self.parent[table_id]
+            if tp != -1:
+                return tp, self.children[tp].index(table_id)
+            # table has no parent: insert inside previous open element
+            idx = self.open_elements.index(table_id)
+            return self.open_elements[idx - 1], None
+        return target, None
+
+    def _insert_element(self, name: str, attrs, *, push: bool = True) -> int:
+        nid = self._new_node(name, attrs or [])
+        parent_id, index = self._insertion_place()
+        if index is None:
+            self._append(nid, parent_id)
+        else:
+            self.parent[nid] = parent_id
+            self.children[parent_id].insert(index, nid)
+        if push and len(self.open_elements) < MAX_DEPTH:
+            self.open_elements.append(nid)
+        return nid
+
+    def _insert_text(self, data: str) -> None:
+        # Engine version of HTMLTree::insertText (html-qt/htmltree.cpp:38-47)
+        # but into real #text nodes so element/text order is preserved.
+        if not data:
+            return
+        parent_id, index = self._insertion_place()
+        kids = self.children[parent_id]
+        if index is None:
+            if kids and self.tag[kids[-1]] == "#text":
+                self.text[kids[-1]] += data
+                return
+            nid = self._new_node("#text", text=data)
+            self._append(nid, parent_id)
+        else:
+            prev = kids[index - 1] if index > 0 else None
+            if prev is not None and self.tag[prev] == "#text":
+                self.text[prev] += data
+                return
+            nid = self._new_node("#text", text=data)
+            self.parent[nid] = parent_id
+            kids.insert(index, nid)
+
+    def _insert_comment(self, data: str, parent: int | None = None) -> None:
+        nid = self._new_node("#comment", text=data)
+        if parent is not None:
+            self._append(nid, parent)
+        else:
+            parent_id, index = self._insertion_place()
+            if index is None:
+                self._append(nid, parent_id)
+            else:
+                self.parent[nid] = parent_id
+                self.children[parent_id].insert(index, nid)
+
+    # ------------------------------------------------------------- scopes
+
+    def _has_in_scope(self, name: str, terminators: frozenset[str]) -> bool:
+        for nid in reversed(self.open_elements):
+            t = self.tag[nid]
+            if t == name:
+                return True
+            if t in terminators:
+                return False
+        return False
+
+    def _in_scope(self, name: str) -> bool:
+        return self._has_in_scope(name, _SCOPE_DEFAULT)
+
+    def _in_button_scope(self, name: str) -> bool:
+        return self._has_in_scope(name, _SCOPE_BUTTON)
+
+    def _in_list_scope(self, name: str) -> bool:
+        return self._has_in_scope(name, _SCOPE_LIST_ITEM)
+
+    def _in_table_scope(self, name: str) -> bool:
+        return self._has_in_scope(name, _SCOPE_TABLE)
+
+    def _generate_implied_end(self, exclude: str | None = None,
+                              thorough: bool = False) -> None:
+        tags = IMPLIED_END_THOROUGH if thorough else IMPLIED_END
+        while self.open_elements:
+            t = self.tag[self._current()]
+            if t in tags and t != exclude:
+                self.open_elements.pop()
+            else:
+                break
+
+    def _pop_until(self, name: str) -> None:
+        # never pop the <html> root (index 0) — keeps the stack non-empty
+        # even when MAX_DEPTH capping dropped the matching open tag
+        while len(self.open_elements) > 1:
+            if self.tag[self.open_elements.pop()] == name:
+                break
+
+    def _close_p(self) -> None:
+        self._generate_implied_end(exclude="p")
+        if self.tag[self._current()] != "p":
+            self._err("unexpected-end-tag")
+        self._pop_until("p")
+
+    # ------------------------------------------- active formatting elements
+
+    def _push_formatting(self, nid: int, token: tuple) -> None:
+        # Noah's Ark clause: max 3 identical entries since last marker
+        count = 0
+        for entry in reversed(self.active_formatting):
+            if entry == MARKER:
+                break
+            eid, etok = entry
+            if (self.tag[eid] == self.tag[nid]
+                    and sorted(self.attrs[eid] or []) == sorted(self.attrs[nid] or [])):
+                count += 1
+                if count == 3:
+                    self.active_formatting.remove(entry)
+                    break
+        self.active_formatting.append((nid, token))
+
+    def _reconstruct_formatting(self) -> None:
+        af = self.active_formatting
+        if not af:
+            return
+        entry = af[-1]
+        if entry == MARKER or (entry != MARKER and entry[0] in self.open_elements):
+            return
+        i = len(af) - 1
+        while True:
+            if i == 0:
+                break
+            i -= 1
+            e = af[i]
+            if e == MARKER or e[0] in self.open_elements:
+                i += 1
+                break
+        while i < len(af):
+            eid, tok = af[i]
+            new_id = self._insert_element(tok[1], list(tok[2]))
+            af[i] = (new_id, tok)
+            i += 1
+
+    def _clear_formatting_to_marker(self) -> None:
+        while self.active_formatting:
+            if self.active_formatting.pop() == MARKER:
+                break
+
+    # --------------------------------------------------- adoption agency
+
+    def _adoption_agency(self, name: str) -> None:
+        """WHATWG 13.2.6.4.7 'adoption agency algorithm'.  The reference has
+        only the reparent hook (html-qt/htmltree.cpp:126-132); this is the
+        full bounded algorithm (8 outer / 3 inner iterations) over the
+        parent-pointer arrays."""
+        # fast path: current node matches and is not in the AFE list
+        if (self.open_elements and self.tag[self._current()] == name
+                and not any(e != MARKER and e[0] == self._current()
+                            for e in self.active_formatting)):
+            self.open_elements.pop()
+            return
+
+        for _ in range(8):
+            # locate formatting element
+            fmt_entry = None
+            for entry in reversed(self.active_formatting):
+                if entry == MARKER:
+                    break
+                if self.tag[entry[0]] == name:
+                    fmt_entry = entry
+                    break
+            if fmt_entry is None:
+                self._any_other_end_tag(name)
+                return
+            fmt_id = fmt_entry[0]
+            if fmt_id not in self.open_elements:
+                self._err("adoption-agency-1.2")
+                self.active_formatting.remove(fmt_entry)
+                return
+            if not self._in_scope(name):
+                self._err("adoption-agency-4.4")
+                return
+            if fmt_id != self._current():
+                self._err("adoption-agency-1.3")
+
+            # furthest block: lowest element below fmt in the stack that is
+            # in the 'special' category
+            fmt_stack_idx = self.open_elements.index(fmt_id)
+            furthest = None
+            for idx in range(fmt_stack_idx + 1, len(self.open_elements)):
+                if self.tag[self.open_elements[idx]] in SPECIAL:
+                    furthest = self.open_elements[idx]
+                    furthest_idx = idx
+                    break
+            if furthest is None:
+                # pop everything up to and including fmt; drop from AFE
+                del self.open_elements[fmt_stack_idx:]
+                self.active_formatting.remove(fmt_entry)
+                return
+
+            common_ancestor = self.open_elements[fmt_stack_idx - 1]
+            bookmark = self.active_formatting.index(fmt_entry)
+
+            node_id = furthest
+            node_idx = furthest_idx
+            last_node = furthest
+            inner = 0
+            while True:
+                inner += 1
+                node_idx -= 1
+                node_id = self.open_elements[node_idx]
+                if node_id == fmt_id:
+                    break
+                node_entry = None
+                for entry in self.active_formatting:
+                    if entry != MARKER and entry[0] == node_id:
+                        node_entry = entry
+                        break
+                if inner > 3 and node_entry is not None:
+                    # spec inner-loop cap: evict from AFE, treat as plain
+                    self.active_formatting.remove(node_entry)
+                    node_entry = None
+                if node_entry is None:
+                    # not in AFE: remove from open elements, continue
+                    self.open_elements.remove(node_id)
+                    continue
+                # clone node
+                eid, tok = node_entry
+                clone = self._new_node(self.tag[eid], list(self.attrs[eid] or []))
+                idx_af = self.active_formatting.index(node_entry)
+                self.active_formatting[idx_af] = (clone, tok)
+                self.open_elements[self.open_elements.index(node_id)] = clone
+                node_id = clone
+                if last_node == furthest:
+                    bookmark = idx_af + 1
+                self._detach(last_node)
+                self._append(last_node, node_id)
+                last_node = node_id
+
+            # move last_node under common ancestor (foster-aware)
+            self._detach(last_node)
+            if self.tag[common_ancestor] in _TABLE_CTX:
+                save = self.foster_parenting
+                self.foster_parenting = True
+                parent_id, index = self._insertion_place(common_ancestor)
+                self.foster_parenting = save
+                if index is None:
+                    self._append(last_node, parent_id)
+                else:
+                    self.parent[last_node] = parent_id
+                    self.children[parent_id].insert(index, last_node)
+            else:
+                self._append(last_node, common_ancestor)
+
+            # new clone of fmt; move furthest-block children into it
+            # (this is the reparentChildren move, html-qt/htmltree.cpp:126-132)
+            tok = fmt_entry[1]
+            clone = self._new_node(name, list(self.attrs[fmt_id] or []))
+            for ch in self.children[furthest]:
+                self.parent[ch] = clone
+            self.children[clone] = self.children[furthest]
+            self.children[furthest] = []
+            self._append(clone, furthest)
+
+            # AFE bookkeeping
+            self.active_formatting.remove(fmt_entry)
+            if bookmark > len(self.active_formatting):
+                bookmark = len(self.active_formatting)
+            self.active_formatting.insert(bookmark, (clone, tok))
+            # open elements bookkeeping
+            self.open_elements.remove(fmt_id)
+            self.open_elements.insert(
+                self.open_elements.index(furthest) + 1, clone)
+
+    def _any_other_end_tag(self, name: str) -> None:
+        for idx in range(len(self.open_elements) - 1, -1, -1):
+            nid = self.open_elements[idx]
+            if self.tag[nid] == name:
+                self._generate_implied_end(exclude=name)
+                if self._current() != nid:
+                    self._err("unexpected-end-tag")
+                del self.open_elements[idx:]
+                return
+            if self.tag[nid] in SPECIAL:
+                self._err("unexpected-end-tag")
+                return
+
+    # ------------------------------------------------------- mode helpers
+
+    def _reset_insertion_mode(self) -> None:
+        for idx in range(len(self.open_elements) - 1, -1, -1):
+            nid = self.open_elements[idx]
+            t = self.tag[nid]
+            last = idx == 0
+            if t == "select":
+                self.mode = "in_select"
+                return
+            if t in ("td", "th") and not last:
+                self.mode = "in_cell"
+                return
+            if t == "tr":
+                self.mode = "in_row"
+                return
+            if t in ("tbody", "thead", "tfoot"):
+                self.mode = "in_table_body"
+                return
+            if t == "caption":
+                self.mode = "in_caption"
+                return
+            if t == "colgroup":
+                self.mode = "in_column_group"
+                return
+            if t == "table":
+                self.mode = "in_table"
+                return
+            if t == "head" and not last:
+                self.mode = "in_head"
+                return
+            if t == "body":
+                self.mode = "in_body"
+                return
+            if t == "frameset":
+                self.mode = "in_frameset"
+                return
+            if t == "html":
+                self.mode = "before_head" if self.head_id == -1 else "after_head"
+                return
+            if last:
+                self.mode = "in_body"
+                return
+
+    # --------------------------------------------------------- main drive
+
+    def process(self, tokens: list[tuple]) -> None:
+        for tok in tokens:
+            kind = tok[0]
+            if kind == "Character":
+                self._process_chars(tok[1])
+            elif kind == "StartTag":
+                self._process_token(tok)
+                # RCDATA/RAWTEXT/script tags flip us into text mode; the
+                # tokenizer already emitted their contents as one Character
+                # token, which the next loop iteration routes to mode 'text'.
+            elif kind == "EndTag":
+                self._process_token(tok)
+            elif kind == "Comment":
+                self._mode_comment(tok[1])
+            elif kind == "DOCTYPE":
+                self._mode_doctype(tok)
+        self._process_eof()
+
+    def _process_chars(self, data: str) -> None:
+        # dispatch possibly-mixed whitespace/content runs per current mode
+        if self.ignore_lf:
+            self.ignore_lf = False
+            if data.startswith("\n"):
+                data = data[1:]
+        while data:
+            handler = getattr(self, "_char_" + self.mode)
+            consumed = handler(data)
+            if consumed >= len(data):
+                return
+            data = data[consumed:]
+
+    def _process_token(self, tok: tuple) -> None:
+        self.ignore_lf = False
+        getattr(self, "_tag_" + self.mode)(tok)
+
+    def _process_eof(self) -> None:
+        # close enough for all modes: synthesize missing structure
+        if self.mode == "initial":
+            self.quirks_mode = "quirks"
+            self._mode_initial_anything()
+        if self.mode == "before_html":
+            self._before_html_anything()
+        if self.mode == "before_head":
+            self._before_head_anything()
+        if self.mode == "in_head":
+            self.open_elements.pop()
+            self.mode = "after_head"
+        if self.mode == "after_head":
+            self._after_head_anything()
+        if self.mode == "in_table_text":
+            self._flush_table_text()
+        self.done = True
+
+    # ----------------------------------------------------------- comments
+
+    def _mode_comment(self, data: str) -> None:
+        if self.mode == "initial" or self.mode == "before_html":
+            # HTMLInitialPhase::processCommentTag → document node
+            # (html-qt/htmlinitialphase.cpp:34-39)
+            self._insert_comment(data, parent=0)
+        elif self.mode in ("after_body", "after_after_body"):
+            target = self.open_elements[0] if self.mode == "after_body" else 0
+            self._insert_comment(data, parent=target)
+        elif self.mode == "in_table_text":
+            self._flush_table_text()
+            self._insert_comment(data)
+        else:
+            self._insert_comment(data)
+
+    def _mode_doctype(self, tok: tuple) -> None:
+        if self.mode != "initial":
+            self._err("unexpected-doctype")
+            return
+        # HTMLInitialPhase::processDoctype (html-qt/htmlinitialphase.cpp:41-66)
+        _, name, public, system, correct = tok
+        self.doctype = (name, public, system)
+        nid = self._new_node("#doctype", text=name or "")
+        self._append(nid, 0)
+        # quirks determination (html/about:legacy-compat check mirrors
+        # html-qt/htmlinitialphase.cpp:47-51; full public-id prefix table
+        # omitted — it does not affect span extraction)
+        if not correct or name != "html":
+            self._err("unknown-doctype")
+            self.quirks_mode = "quirks"
+        self.mode = "before_html"
+
+    # ------------------------------------------------------------ initial
+
+    def _mode_initial_anything(self) -> None:
+        self.quirks_mode = "quirks"
+        self.mode = "before_html"
+
+    def _char_initial(self, data: str) -> int:
+        ws = _ws_prefix(data)
+        if ws == len(data):
+            return ws
+        self._err("expected-doctype-but-got-chars")
+        self._mode_initial_anything()
+        return ws
+
+    def _tag_initial(self, tok: tuple) -> None:
+        self._err("expected-doctype-but-got-start-tag"
+                  if tok[0] == "StartTag" else
+                  "expected-doctype-but-got-end-tag")
+        self._mode_initial_anything()
+        self._process_token(tok)
+
+    # -------------------------------------------------------- before html
+
+    def _before_html_anything(self) -> None:
+        # HTMLBeforeHtmlPhase::insertHtmlElement
+        # (html-qt/htmlbeforehtmlphase.cpp:12-17): synthesize <html> root,
+        # push on the open stack (HTMLTree::inserRoot, htmltree.cpp:49-54)
+        nid = self._new_node("html", [])
+        self._append(nid, 0)
+        self.open_elements.append(nid)
+        self.mode = "before_head"
+
+    def _char_before_html(self, data: str) -> int:
+        ws = _ws_prefix(data)
+        if ws == len(data):
+            return ws
+        self._before_html_anything()
+        return ws
+
+    def _tag_before_html(self, tok: tuple) -> None:
+        if tok[0] == "StartTag" and tok[1] == "html":
+            nid = self._new_node("html", list(tok[2]))
+            self._append(nid, 0)
+            self.open_elements.append(nid)
+            self.mode = "before_head"
+            return
+        if tok[0] == "EndTag" and tok[1] not in ("head", "body", "html", "br"):
+            self._err("unexpected-end-tag-before-html")
+            return
+        self._before_html_anything()
+        self._process_token(tok)
+
+    # -------------------------------------------------------- before head
+
+    def _before_head_anything(self) -> None:
+        self.head_id = self._insert_element("head", [])
+        self.mode = "in_head"
+
+    def _char_before_head(self, data: str) -> int:
+        ws = _ws_prefix(data)
+        if ws == len(data):
+            return ws
+        self._before_head_anything()
+        return ws
+
+    def _tag_before_head(self, tok: tuple) -> None:
+        kind, name = tok[0], tok[1]
+        if kind == "StartTag" and name == "html":
+            self._tag_in_body(tok)
+            return
+        if kind == "StartTag" and name == "head":
+            self.head_id = self._insert_element("head", list(tok[2]))
+            self.mode = "in_head"
+            return
+        if kind == "EndTag" and name not in ("head", "body", "html", "br"):
+            self._err("end-tag-after-implied-root")
+            return
+        self._before_head_anything()
+        self._process_token(tok)
+
+    # ------------------------------------------------------------ in head
+
+    _HEAD_VOID = frozenset("base basefont bgsound link meta".split())
+
+    def _char_in_head(self, data: str) -> int:
+        ws = _ws_prefix(data)
+        if ws:
+            self._insert_text(data[:ws])
+        if ws == len(data):
+            return ws
+        # anything else: pop head, reprocess in after_head
+        self.open_elements.pop()
+        self.mode = "after_head"
+        return ws
+
+    def _tag_in_head(self, tok: tuple) -> None:
+        kind, name = tok[0], tok[1]
+        if kind == "StartTag":
+            if name == "html":
+                self._tag_in_body(tok)
+                return
+            if name in self._HEAD_VOID:
+                self._insert_element(name, list(tok[2]), push=False)
+                return
+            if name == "title":
+                self._insert_element(name, list(tok[2]))
+                self.original_mode = self.mode
+                self.mode = "text"
+                return
+            if name in ("noscript", "noframes", "style"):
+                if name == "noscript":
+                    # scripting disabled: parse children normally
+                    self._insert_element(name, list(tok[2]))
+                    self.mode = "in_head_noscript"
+                    return
+                self._insert_element(name, list(tok[2]))
+                self.original_mode = self.mode
+                self.mode = "text"
+                return
+            if name == "script":
+                self._insert_element(name, list(tok[2]))
+                self.original_mode = self.mode
+                self.mode = "text"
+                return
+            if name == "template":
+                self._insert_element(name, list(tok[2]))
+                self.active_formatting.append(MARKER)
+                self.frameset_ok = False
+                return
+            if name == "head":
+                self._err("two-heads-are-not-better-than-one")
+                return
+        else:
+            if name == "head":
+                self.open_elements.pop()
+                self.mode = "after_head"
+                return
+            if name == "template":
+                if any(self.tag[nid] == "template" for nid in self.open_elements):
+                    self._generate_implied_end(thorough=True)
+                    self._pop_until("template")
+                    self._clear_formatting_to_marker()
+                return
+            if name not in ("body", "html", "br"):
+                self._err("unexpected-end-tag")
+                return
+        self.open_elements.pop()
+        self.mode = "after_head"
+        self._process_token(tok)
+
+    def _char_in_head_noscript(self, data: str) -> int:
+        ws = _ws_prefix(data)
+        if ws:
+            self._insert_text(data[:ws])
+        if ws == len(data):
+            return ws
+        self._err("char-in-head-noscript")
+        self.open_elements.pop()
+        self.mode = "in_head"
+        return ws
+
+    def _tag_in_head_noscript(self, tok: tuple) -> None:
+        kind, name = tok[0], tok[1]
+        if kind == "StartTag" and name in ("basefont", "bgsound", "link",
+                                           "meta", "noframes", "style"):
+            self._tag_in_head(tok)
+            return
+        if kind == "EndTag" and name == "noscript":
+            self.open_elements.pop()
+            self.mode = "in_head"
+            return
+        if kind == "EndTag" and name != "br":
+            self._err("unexpected-end-tag-in-noscript")
+            return
+        self._err("unexpected-tag-in-noscript")
+        self.open_elements.pop()
+        self.mode = "in_head"
+        self._process_token(tok)
+
+    # ---------------------------------------------------------- after head
+
+    def _after_head_anything(self) -> None:
+        self._insert_element("body", [])
+        self.mode = "in_body"
+
+    def _char_after_head(self, data: str) -> int:
+        ws = _ws_prefix(data)
+        if ws:
+            self._insert_text(data[:ws])
+        if ws == len(data):
+            return ws
+        self._after_head_anything()
+        return ws
+
+    def _tag_after_head(self, tok: tuple) -> None:
+        kind, name = tok[0], tok[1]
+        if kind == "StartTag":
+            if name == "html":
+                self._tag_in_body(tok)
+                return
+            if name == "body":
+                self._insert_element("body", list(tok[2]))
+                self.frameset_ok = False
+                self.mode = "in_body"
+                return
+            if name == "frameset":
+                self._insert_element("frameset", list(tok[2]))
+                self.mode = "in_frameset"
+                return
+            if name in ("base", "basefont", "bgsound", "link", "meta",
+                        "noframes", "script", "style", "template", "title"):
+                self._err("unexpected-start-tag-out-of-head")
+                self.open_elements.append(self.head_id)
+                self._tag_in_head(tok)
+                if self.head_id in self.open_elements:
+                    self.open_elements.remove(self.head_id)
+                return
+            if name == "head":
+                self._err("unexpected-head")
+                return
+        else:
+            if name == "template":
+                self._tag_in_head(tok)
+                return
+            if name not in ("body", "html", "br"):
+                self._err("unexpected-end-tag")
+                return
+        self._after_head_anything()
+        self._process_token(tok)
+
+    # -------------------------------------------------------------- in body
+
+    def _char_in_body(self, data: str) -> int:
+        orig_len = len(data)
+        if "\x00" in data:
+            self._err("invalid-codepoint")
+            data = data.replace("\x00", "")
+        if data:
+            self._reconstruct_formatting()
+            self._insert_text(data)
+            if data.strip(_WS):
+                self.frameset_ok = False
+        return orig_len
+
+    def _tag_in_body(self, tok: tuple) -> None:  # noqa: C901
+        kind, name = tok[0], tok[1]
+        if kind == "StartTag":
+            attrs = list(tok[2])
+            if name == "html":
+                # merge attrs into root without overwrite
+                # (HTMLAbstractPhase::startTagHtml,
+                #  html-qt/htmlabstractphase.cpp:32-51)
+                self._err("non-html-root" if False else "unexpected-start-tag")
+                root = self.open_elements[0]
+                existing = {k for k, _ in (self.attrs[root] or [])}
+                merged = list(self.attrs[root] or [])
+                for k, v in attrs:
+                    if k not in existing:
+                        merged.append((k, v))
+                self.attrs[root] = merged
+                return
+            if name in ("base", "basefont", "bgsound", "link", "meta",
+                        "noframes", "script", "style", "template", "title"):
+                self._tag_in_head(tok)
+                return
+            if name == "body":
+                self._err("unexpected-start-tag")
+                if len(self.open_elements) > 1 and self.tag[self.open_elements[1]] == "body":
+                    body = self.open_elements[1]
+                    existing = {k for k, _ in (self.attrs[body] or [])}
+                    merged = list(self.attrs[body] or [])
+                    for k, v in attrs:
+                        if k not in existing:
+                            merged.append((k, v))
+                    self.attrs[body] = merged
+                    self.frameset_ok = False
+                return
+            if name == "frameset":
+                self._err("unexpected-start-tag")
+                if (self.frameset_ok and len(self.open_elements) > 1
+                        and self.tag[self.open_elements[1]] == "body"):
+                    body = self.open_elements[1]
+                    self._detach(body)
+                    del self.open_elements[1:]
+                    self._insert_element("frameset", attrs)
+                    self.mode = "in_frameset"
+                return
+            if name in _P_CLOSERS:
+                if self._in_button_scope("p"):
+                    self._close_p()
+                self._insert_element(name, attrs)
+                return
+            if name in _HEADINGS:
+                if self._in_button_scope("p"):
+                    self._close_p()
+                if self.tag[self._current()] in _HEADINGS:
+                    self._err("unexpected-start-tag")
+                    self.open_elements.pop()
+                self._insert_element(name, attrs)
+                return
+            if name in ("pre", "listing"):
+                if self._in_button_scope("p"):
+                    self._close_p()
+                self._insert_element(name, attrs)
+                self.ignore_lf = True
+                self.frameset_ok = False
+                return
+            if name == "form":
+                if self.form_id != -1:
+                    self._err("unexpected-start-tag")
+                    return
+                if self._in_button_scope("p"):
+                    self._close_p()
+                self.form_id = self._insert_element(name, attrs)
+                return
+            if name == "li":
+                self.frameset_ok = False
+                for nid in reversed(self.open_elements):
+                    t = self.tag[nid]
+                    if t == "li":
+                        self._generate_implied_end(exclude="li")
+                        self._pop_until("li")
+                        break
+                    if t in SPECIAL and t not in ("address", "div", "p"):
+                        break
+                if self._in_button_scope("p"):
+                    self._close_p()
+                self._insert_element(name, attrs)
+                return
+            if name in ("dd", "dt"):
+                self.frameset_ok = False
+                for nid in reversed(self.open_elements):
+                    t = self.tag[nid]
+                    if t in ("dd", "dt"):
+                        self._generate_implied_end(exclude=t)
+                        self._pop_until(t)
+                        break
+                    if t in SPECIAL and t not in ("address", "div", "p"):
+                        break
+                if self._in_button_scope("p"):
+                    self._close_p()
+                self._insert_element(name, attrs)
+                return
+            if name == "plaintext":
+                if self._in_button_scope("p"):
+                    self._close_p()
+                self._insert_element(name, attrs)
+                return
+            if name == "button":
+                if self._in_scope("button"):
+                    self._err("unexpected-start-tag")
+                    self._generate_implied_end()
+                    self._pop_until("button")
+                self._reconstruct_formatting()
+                self._insert_element(name, attrs)
+                self.frameset_ok = False
+                return
+            if name == "a":
+                for entry in reversed(self.active_formatting):
+                    if entry == MARKER:
+                        break
+                    if self.tag[entry[0]] == "a":
+                        self._err("unexpected-start-tag-implies-end-tag")
+                        self._adoption_agency("a")
+                        if entry in self.active_formatting:
+                            self.active_formatting.remove(entry)
+                        if entry[0] in self.open_elements:
+                            self.open_elements.remove(entry[0])
+                        break
+                self._reconstruct_formatting()
+                nid = self._insert_element(name, attrs)
+                self._push_formatting(nid, tok)
+                return
+            if name == "nobr":
+                self._reconstruct_formatting()
+                if self._in_scope("nobr"):
+                    self._err("unexpected-start-tag-implies-end-tag")
+                    self._adoption_agency("nobr")
+                    self._reconstruct_formatting()
+                nid = self._insert_element(name, attrs)
+                self._push_formatting(nid, tok)
+                return
+            if name in FORMATTING:
+                self._reconstruct_formatting()
+                nid = self._insert_element(name, attrs)
+                self._push_formatting(nid, tok)
+                return
+            if name in ("applet", "marquee", "object"):
+                self._reconstruct_formatting()
+                self._insert_element(name, attrs)
+                self.active_formatting.append(MARKER)
+                self.frameset_ok = False
+                return
+            if name == "table":
+                if self.quirks_mode != "quirks" and self._in_button_scope("p"):
+                    self._close_p()
+                self._insert_element(name, attrs)
+                self.frameset_ok = False
+                self.mode = "in_table"
+                return
+            if name in ("area", "br", "embed", "img", "keygen", "wbr"):
+                self._reconstruct_formatting()
+                self._insert_element(name, attrs, push=False)
+                self.frameset_ok = False
+                return
+            if name == "input":
+                self._reconstruct_formatting()
+                self._insert_element(name, attrs, push=False)
+                typ = next((v for k, v in attrs if k == "type"), "")
+                if typ.lower() != "hidden":
+                    self.frameset_ok = False
+                return
+            if name in ("param", "source", "track"):
+                self._insert_element(name, attrs, push=False)
+                return
+            if name == "hr":
+                if self._in_button_scope("p"):
+                    self._close_p()
+                self._insert_element(name, attrs, push=False)
+                self.frameset_ok = False
+                return
+            if name == "image":
+                self._err("unexpected-start-tag")  # treat as img
+                self._tag_in_body(("StartTag", "img", tok[2], tok[3]))
+                return
+            if name == "textarea":
+                self._insert_element(name, attrs)
+                self.ignore_lf = True
+                self.original_mode = self.mode
+                self.frameset_ok = False
+                self.mode = "text"
+                return
+            if name == "xmp":
+                if self._in_button_scope("p"):
+                    self._close_p()
+                self._reconstruct_formatting()
+                self.frameset_ok = False
+                self._insert_element(name, attrs)
+                self.original_mode = "in_body"
+                self.mode = "text"
+                return
+            if name in ("iframe", "noembed"):
+                self.frameset_ok = False
+                self._insert_element(name, attrs)
+                self.original_mode = "in_body"
+                self.mode = "text"
+                return
+            if name == "select":
+                self._reconstruct_formatting()
+                self._insert_element(name, attrs)
+                self.frameset_ok = False
+                if self.mode in ("in_table", "in_caption", "in_table_body",
+                                 "in_row", "in_cell"):
+                    self.mode = "in_select_in_table"
+                else:
+                    self.mode = "in_select"
+                return
+            if name in ("optgroup", "option"):
+                if self.tag[self._current()] == "option":
+                    self.open_elements.pop()
+                self._reconstruct_formatting()
+                self._insert_element(name, attrs)
+                return
+            if name in ("rb", "rtc", "rp", "rt"):
+                if self._in_scope("ruby"):
+                    self._generate_implied_end(
+                        exclude=None if name in ("rb", "rtc") else "rtc")
+                self._insert_element(name, attrs)
+                return
+            if name in ("caption", "col", "colgroup", "frame", "head",
+                        "tbody", "td", "tfoot", "th", "thead", "tr"):
+                self._err("unexpected-start-tag-ignored")
+                return
+            # math/svg and everything else: ordinary element
+            self._reconstruct_formatting()
+            self._insert_element(name, attrs)
+            if tok[3] and name in ("math", "svg"):
+                self.open_elements.pop()
+            return
+
+        # ---- end tags in body
+        if name == "body":
+            if not self._in_scope("body"):
+                self._err("unexpected-end-tag")
+                return
+            self.mode = "after_body"
+            return
+        if name == "html":
+            if not self._in_scope("body"):
+                self._err("unexpected-end-tag")
+                return
+            self.mode = "after_body"
+            self._process_token(tok)
+            return
+        if name in _P_CLOSERS and name != "p":
+            if not self._in_scope(name):
+                self._err("unexpected-end-tag")
+                return
+            self._generate_implied_end()
+            if self.tag[self._current()] != name:
+                self._err("end-tag-too-early")
+            self._pop_until(name)
+            return
+        if name == "form":
+            node = self.form_id
+            self.form_id = -1
+            if node == -1 or node not in self.open_elements:
+                self._err("unexpected-end-tag")
+                return
+            self._generate_implied_end()
+            if self._current() != node:
+                self._err("end-tag-too-early-ignored")
+            self.open_elements.remove(node)
+            return
+        if name == "p":
+            if not self._in_button_scope("p"):
+                self._err("unexpected-end-tag")
+                self._insert_element("p", [])
+                if not self._in_button_scope("p"):
+                    return  # MAX_DEPTH cap kept it off the stack
+            self._close_p()
+            return
+        if name == "li":
+            if not self._in_list_scope("li"):
+                self._err("unexpected-end-tag")
+                return
+            self._generate_implied_end(exclude="li")
+            if self.tag[self._current()] != "li":
+                self._err("end-tag-too-early")
+            self._pop_until("li")
+            return
+        if name in ("dd", "dt"):
+            if not self._in_scope(name):
+                self._err("unexpected-end-tag")
+                return
+            self._generate_implied_end(exclude=name)
+            if self.tag[self._current()] != name:
+                self._err("end-tag-too-early")
+            self._pop_until(name)
+            return
+        if name in _HEADINGS:
+            if not any(self._in_scope(h) for h in _HEADINGS):
+                self._err("unexpected-end-tag")
+                return
+            self._generate_implied_end()
+            if self.tag[self._current()] != name:
+                self._err("end-tag-too-early")
+            while self.open_elements:
+                if self.tag[self.open_elements.pop()] in _HEADINGS:
+                    break
+            return
+        if name in FORMATTING:
+            self._adoption_agency(name)
+            return
+        if name in ("applet", "marquee", "object"):
+            if not self._in_scope(name):
+                self._err("unexpected-end-tag")
+                return
+            self._generate_implied_end()
+            if self.tag[self._current()] != name:
+                self._err("end-tag-too-early")
+            self._pop_until(name)
+            self._clear_formatting_to_marker()
+            return
+        if name == "br":
+            self._err("unexpected-end-tag-treated-as")
+            self._reconstruct_formatting()
+            self._insert_element("br", [], push=False)
+            self.frameset_ok = False
+            return
+        if name == "template":
+            self._tag_in_head(tok)
+            return
+        self._any_other_end_tag(name)
+
+    # ----------------------------------------------------------- text mode
+
+    def _char_text(self, data: str) -> int:
+        self._insert_text(data)
+        return len(data)
+
+    def _tag_text(self, tok: tuple) -> None:
+        if tok[0] == "EndTag":
+            self.open_elements.pop()
+            self.mode = self.original_mode
+        else:  # shouldn't happen: tokenizer guarantees matching end tag
+            self.open_elements.pop()
+            self.mode = self.original_mode
+            self._process_token(tok)
+
+    # ----------------------------------------------------------- in table
+
+    def _char_in_table(self, data: str) -> int:
+        if self.tag[self._current()] in _TABLE_CTX:
+            self.pending_table_text = []
+            self.original_mode = self.mode
+            self.mode = "in_table_text"
+            return 0
+        # anything else: foster-parent via in_body
+        self._err("unexpected-char-implies-table-voodoo")
+        self.foster_parenting = True
+        n = self._char_in_body(data)
+        self.foster_parenting = False
+        return n
+
+    def _char_in_table_text(self, data: str) -> int:
+        orig_len = len(data)
+        if "\x00" in data:
+            self._err("invalid-codepoint")
+            data = data.replace("\x00", "")
+        self.pending_table_text.append(data)
+        return orig_len
+
+    def _flush_table_text(self) -> None:
+        text = "".join(self.pending_table_text)
+        self.pending_table_text = []
+        self.mode = self.original_mode
+        if not text:
+            return
+        if text.strip(_WS):
+            self._err("foster-parenting-character")
+            self.foster_parenting = True
+            self._reconstruct_formatting()
+            self._insert_text(text)
+            self.frameset_ok = False
+            self.foster_parenting = False
+        else:
+            self._insert_text(text)
+
+    def _tag_in_table_text(self, tok: tuple) -> None:
+        self._flush_table_text()
+        self._process_token(tok)
+
+    def _clear_stack_to_table_context(self, stop: frozenset[str]) -> None:
+        while self.open_elements and self.tag[self._current()] not in stop:
+            self.open_elements.pop()
+
+    _TABLE_STOP = frozenset({"table", "template", "html"})
+    _TBODY_STOP = frozenset({"tbody", "tfoot", "thead", "template", "html"})
+    _ROW_STOP = frozenset({"tr", "template", "html"})
+
+    def _tag_in_table(self, tok: tuple) -> None:
+        kind, name = tok[0], tok[1]
+        if kind == "StartTag":
+            attrs = list(tok[2])
+            if name == "caption":
+                self._clear_stack_to_table_context(self._TABLE_STOP)
+                self.active_formatting.append(MARKER)
+                self._insert_element(name, attrs)
+                self.mode = "in_caption"
+                return
+            if name == "colgroup":
+                self._clear_stack_to_table_context(self._TABLE_STOP)
+                self._insert_element(name, attrs)
+                self.mode = "in_column_group"
+                return
+            if name == "col":
+                self._clear_stack_to_table_context(self._TABLE_STOP)
+                self._insert_element("colgroup", [])
+                self.mode = "in_column_group"
+                self._process_token(tok)
+                return
+            if name in ("tbody", "tfoot", "thead"):
+                self._clear_stack_to_table_context(self._TABLE_STOP)
+                self._insert_element(name, attrs)
+                self.mode = "in_table_body"
+                return
+            if name in ("td", "th", "tr"):
+                self._clear_stack_to_table_context(self._TABLE_STOP)
+                self._insert_element("tbody", [])
+                self.mode = "in_table_body"
+                self._process_token(tok)
+                return
+            if name == "table":
+                self._err("unexpected-start-tag-implies-end-tag")
+                if self._in_table_scope("table"):
+                    self._pop_until("table")
+                    self._reset_insertion_mode()
+                    self._process_token(tok)
+                return
+            if name in ("style", "script", "template"):
+                self._tag_in_head(tok)
+                return
+            if name == "input":
+                typ = next((v for k, v in tok[2] if k == "type"), "")
+                if typ.lower() == "hidden":
+                    self._err("unexpected-hidden-input-in-table")
+                    self._insert_element(name, list(tok[2]), push=False)
+                    return
+            if name == "form":
+                self._err("unexpected-form-in-table")
+                if self.form_id == -1:
+                    self.form_id = self._insert_element(name, attrs, push=False)
+                return
+        else:
+            if name == "table":
+                if not self._in_table_scope("table"):
+                    self._err("unexpected-end-tag")
+                    return
+                self._pop_until("table")
+                self._reset_insertion_mode()
+                return
+            if name in ("body", "caption", "col", "colgroup", "html",
+                        "tbody", "td", "tfoot", "th", "thead", "tr"):
+                self._err("unexpected-end-tag")
+                return
+            if name == "template":
+                self._tag_in_head(tok)
+                return
+        # anything else: foster parenting via in_body
+        self._err("unexpected-implied-end-tag-in-table")
+        self.foster_parenting = True
+        self._tag_in_body(tok)
+        self.foster_parenting = False
+
+    def _char_in_caption(self, data: str) -> int:
+        return self._char_in_body(data)
+
+    def _tag_in_caption(self, tok: tuple) -> None:
+        kind, name = tok[0], tok[1]
+        if (kind == "EndTag" and name == "caption") or \
+           (kind == "StartTag" and name in ("caption", "col", "colgroup",
+                                            "tbody", "td", "tfoot", "th",
+                                            "thead", "tr")) or \
+           (kind == "EndTag" and name == "table"):
+            if not self._in_table_scope("caption"):
+                self._err("unexpected-end-tag")
+                return
+            self._generate_implied_end()
+            self._pop_until("caption")
+            self._clear_formatting_to_marker()
+            self.mode = "in_table"
+            if not (kind == "EndTag" and name == "caption"):
+                self._process_token(tok)
+            return
+        if kind == "EndTag" and name in ("body", "col", "colgroup", "html",
+                                         "tbody", "td", "tfoot", "th",
+                                         "thead", "tr"):
+            self._err("unexpected-end-tag")
+            return
+        self._tag_in_body(tok)
+
+    def _char_in_column_group(self, data: str) -> int:
+        ws = _ws_prefix(data)
+        if ws:
+            self._insert_text(data[:ws])
+        if ws == len(data):
+            return ws
+        if self.tag[self._current()] == "colgroup":
+            self.open_elements.pop()
+            self.mode = "in_table"
+        return ws
+
+    def _tag_in_column_group(self, tok: tuple) -> None:
+        kind, name = tok[0], tok[1]
+        if kind == "StartTag" and name == "col":
+            self._insert_element("col", list(tok[2]), push=False)
+            return
+        if kind == "EndTag" and name == "colgroup":
+            if self.tag[self._current()] == "colgroup":
+                self.open_elements.pop()
+                self.mode = "in_table"
+            else:
+                self._err("unexpected-end-tag")
+            return
+        if kind == "EndTag" and name == "col":
+            self._err("no-end-tag")
+            return
+        if self.tag[self._current()] == "colgroup":
+            self.open_elements.pop()
+            self.mode = "in_table"
+            self._process_token(tok)
+
+    def _char_in_table_body(self, data: str) -> int:
+        return self._char_in_table(data)
+
+    def _tag_in_table_body(self, tok: tuple) -> None:
+        kind, name = tok[0], tok[1]
+        if kind == "StartTag":
+            if name == "tr":
+                self._clear_stack_to_table_context(self._TBODY_STOP)
+                self._insert_element(name, list(tok[2]))
+                self.mode = "in_row"
+                return
+            if name in ("td", "th"):
+                self._err("unexpected-cell-in-table-body")
+                self._clear_stack_to_table_context(self._TBODY_STOP)
+                self._insert_element("tr", [])
+                self.mode = "in_row"
+                self._process_token(tok)
+                return
+            if name in ("caption", "col", "colgroup", "tbody", "tfoot", "thead"):
+                if not (self._in_table_scope("tbody") or
+                        self._in_table_scope("thead") or
+                        self._in_table_scope("tfoot")):
+                    self._err("unexpected-start-tag")
+                    return
+                self._clear_stack_to_table_context(self._TBODY_STOP)
+                self.open_elements.pop()
+                self.mode = "in_table"
+                self._process_token(tok)
+                return
+        else:
+            if name in ("tbody", "tfoot", "thead"):
+                if not self._in_table_scope(name):
+                    self._err("unexpected-end-tag")
+                    return
+                self._clear_stack_to_table_context(self._TBODY_STOP)
+                self.open_elements.pop()
+                self.mode = "in_table"
+                return
+            if name == "table":
+                if not (self._in_table_scope("tbody") or
+                        self._in_table_scope("thead") or
+                        self._in_table_scope("tfoot")):
+                    self._err("unexpected-end-tag")
+                    return
+                self._clear_stack_to_table_context(self._TBODY_STOP)
+                self.open_elements.pop()
+                self.mode = "in_table"
+                self._process_token(tok)
+                return
+            if name in ("body", "caption", "col", "colgroup", "html",
+                        "td", "th", "tr"):
+                self._err("unexpected-end-tag")
+                return
+        self._tag_in_table(tok)
+
+    def _char_in_row(self, data: str) -> int:
+        return self._char_in_table(data)
+
+    def _tag_in_row(self, tok: tuple) -> None:
+        kind, name = tok[0], tok[1]
+        if kind == "StartTag" and name in ("td", "th"):
+            self._clear_stack_to_table_context(self._ROW_STOP)
+            self._insert_element(name, list(tok[2]))
+            self.mode = "in_cell"
+            self.active_formatting.append(MARKER)
+            return
+        if kind == "EndTag" and name == "tr":
+            if not self._in_table_scope("tr"):
+                self._err("unexpected-end-tag")
+                return
+            self._clear_stack_to_table_context(self._ROW_STOP)
+            self.open_elements.pop()
+            self.mode = "in_table_body"
+            return
+        if (kind == "StartTag" and name in ("caption", "col", "colgroup",
+                                            "tbody", "tfoot", "thead", "tr")) \
+           or (kind == "EndTag" and name == "table"):
+            if not self._in_table_scope("tr"):
+                self._err("unexpected-end-tag")
+                return
+            self._clear_stack_to_table_context(self._ROW_STOP)
+            self.open_elements.pop()
+            self.mode = "in_table_body"
+            self._process_token(tok)
+            return
+        if kind == "EndTag" and name in ("tbody", "tfoot", "thead"):
+            if not self._in_table_scope(name):
+                self._err("unexpected-end-tag")
+                return
+            if self._in_table_scope("tr"):
+                self._clear_stack_to_table_context(self._ROW_STOP)
+                self.open_elements.pop()
+                self.mode = "in_table_body"
+                self._process_token(tok)
+            return
+        if kind == "EndTag" and name in ("body", "caption", "col",
+                                         "colgroup", "html", "td", "th"):
+            self._err("unexpected-end-tag")
+            return
+        self._tag_in_table(tok)
+
+    def _char_in_cell(self, data: str) -> int:
+        return self._char_in_body(data)
+
+    def _close_cell(self) -> None:
+        if self._in_table_scope("td"):
+            self._tag_in_cell(("EndTag", "td"))
+        elif self._in_table_scope("th"):
+            self._tag_in_cell(("EndTag", "th"))
+
+    def _tag_in_cell(self, tok: tuple) -> None:
+        kind, name = tok[0], tok[1]
+        if kind == "EndTag" and name in ("td", "th"):
+            if not self._in_table_scope(name):
+                self._err("unexpected-end-tag")
+                return
+            self._generate_implied_end()
+            if self.tag[self._current()] != name:
+                self._err("unexpected-cell-end-tag")
+            self._pop_until(name)
+            self._clear_formatting_to_marker()
+            self.mode = "in_row"
+            return
+        if kind == "StartTag" and name in ("caption", "col", "colgroup",
+                                           "tbody", "td", "tfoot", "th",
+                                           "thead", "tr"):
+            if not (self._in_table_scope("td") or self._in_table_scope("th")):
+                self._err("unexpected-start-tag")
+                return
+            self._close_cell()
+            self._process_token(tok)
+            return
+        if kind == "EndTag" and name in ("body", "caption", "col",
+                                         "colgroup", "html"):
+            self._err("unexpected-end-tag")
+            return
+        if kind == "EndTag" and name in ("table", "tbody", "tfoot",
+                                         "thead", "tr"):
+            if not self._in_table_scope(name):
+                self._err("unexpected-end-tag")
+                return
+            self._close_cell()
+            self._process_token(tok)
+            return
+        self._tag_in_body(tok)
+
+    # ------------------------------------------------------------ in select
+
+    def _char_in_select(self, data: str) -> int:
+        orig_len = len(data)
+        if "\x00" in data:
+            self._err("invalid-codepoint")
+            data = data.replace("\x00", "")
+        self._insert_text(data)
+        return orig_len
+
+    def _tag_in_select(self, tok: tuple) -> None:
+        kind, name = tok[0], tok[1]
+        if kind == "StartTag":
+            if name == "html":
+                self._tag_in_body(tok)
+                return
+            if name == "option":
+                if self.tag[self._current()] == "option":
+                    self.open_elements.pop()
+                self._insert_element(name, list(tok[2]))
+                return
+            if name == "optgroup":
+                if self.tag[self._current()] == "option":
+                    self.open_elements.pop()
+                if self.tag[self._current()] == "optgroup":
+                    self.open_elements.pop()
+                self._insert_element(name, list(tok[2]))
+                return
+            if name in ("select", "input", "keygen", "textarea"):
+                self._err("unexpected-start-tag-in-select")
+                if self._has_in_scope("select", frozenset({"html"})):
+                    self._pop_until("select")
+                    self._reset_insertion_mode()
+                    if name != "select":
+                        self._process_token(tok)
+                return
+            if name in ("script", "template"):
+                self._tag_in_head(tok)
+                return
+        else:
+            if name == "option":
+                if self.tag[self._current()] == "option":
+                    self.open_elements.pop()
+                else:
+                    self._err("unexpected-end-tag")
+                return
+            if name == "optgroup":
+                if (self.tag[self._current()] == "option"
+                        and len(self.open_elements) >= 2
+                        and self.tag[self.open_elements[-2]] == "optgroup"):
+                    self.open_elements.pop()
+                if self.tag[self._current()] == "optgroup":
+                    self.open_elements.pop()
+                else:
+                    self._err("unexpected-end-tag")
+                return
+            if name == "select":
+                if not self._has_in_scope("select", frozenset({"html"})):
+                    self._err("unexpected-end-tag")
+                    return
+                self._pop_until("select")
+                self._reset_insertion_mode()
+                return
+            if name == "template":
+                self._tag_in_head(tok)
+                return
+        self._err("unexpected-token-in-select")
+
+    def _char_in_select_in_table(self, data: str) -> int:
+        return self._char_in_select(data)
+
+    def _tag_in_select_in_table(self, tok: tuple) -> None:
+        kind, name = tok[0], tok[1]
+        if name in ("caption", "table", "tbody", "tfoot", "thead",
+                    "tr", "td", "th"):
+            self._err("unexpected-table-element-in-select")
+            if kind == "EndTag" and not self._in_table_scope(name):
+                return
+            self._pop_until("select")
+            self._reset_insertion_mode()
+            self._process_token(tok)
+            return
+        self._tag_in_select(tok)
+
+    # ----------------------------------------------------------- after body
+
+    def _char_after_body(self, data: str) -> int:
+        ws = _ws_prefix(data)
+        if ws:
+            return self._char_in_body(data[:ws]) or ws
+        self._err("unexpected-char-after-body")
+        self.mode = "in_body"
+        return 0
+
+    def _tag_after_body(self, tok: tuple) -> None:
+        kind, name = tok[0], tok[1]
+        if kind == "StartTag" and name == "html":
+            self._tag_in_body(tok)
+            return
+        if kind == "EndTag" and name == "html":
+            self.mode = "after_after_body"
+            return
+        self._err("unexpected-token-after-body")
+        self.mode = "in_body"
+        self._process_token(tok)
+
+    def _char_after_after_body(self, data: str) -> int:
+        ws = _ws_prefix(data)
+        if ws:
+            return self._char_in_body(data[:ws]) or ws
+        self._err("unexpected-char-after-body")
+        self.mode = "in_body"
+        return 0
+
+    def _tag_after_after_body(self, tok: tuple) -> None:
+        if tok[0] == "StartTag" and tok[1] == "html":
+            self._tag_in_body(tok)
+            return
+        self._err("unexpected-token-after-after-body")
+        self.mode = "in_body"
+        self._process_token(tok)
+
+    # ---------------------------------------------------------- frameset
+
+    def _char_in_frameset(self, data: str) -> int:
+        ws = _ws_prefix(data)
+        if ws:
+            self._insert_text(data[:ws])
+            return ws
+        self._err("unexpected-char-in-frameset")
+        return 1
+
+    def _tag_in_frameset(self, tok: tuple) -> None:
+        kind, name = tok[0], tok[1]
+        if kind == "StartTag":
+            if name == "frameset":
+                self._insert_element(name, list(tok[2]))
+                return
+            if name == "frame":
+                self._insert_element(name, list(tok[2]), push=False)
+                return
+            if name == "noframes":
+                self._tag_in_head(tok)
+                return
+            if name == "html":
+                self._tag_in_body(tok)
+                return
+        elif name == "frameset":
+            if self.tag[self._current()] != "html":
+                self.open_elements.pop()
+            if self.tag[self._current()] != "frameset":
+                self.mode = "after_frameset"
+            return
+        self._err("unexpected-token-in-frameset")
+
+    def _char_after_frameset(self, data: str) -> int:
+        ws = _ws_prefix(data)
+        if ws:
+            self._insert_text(data[:ws])
+            return ws
+        self._err("unexpected-char-after-frameset")
+        return 1
+
+    def _tag_after_frameset(self, tok: tuple) -> None:
+        kind, name = tok[0], tok[1]
+        if kind == "EndTag" and name == "html":
+            self.mode = "after_after_frameset"
+            return
+        if kind == "StartTag" and name == "noframes":
+            self._tag_in_head(tok)
+            return
+        if kind == "StartTag" and name == "html":
+            self._tag_in_body(tok)
+            return
+        self._err("unexpected-token-after-frameset")
+
+    def _char_after_after_frameset(self, data: str) -> int:
+        ws = _ws_prefix(data)
+        if ws:
+            self._insert_text(data[:ws])
+            return ws
+        self._err("expected-eof")
+        return 1
+
+    def _tag_after_after_frameset(self, tok: tuple) -> None:
+        if tok[0] == "StartTag" and tok[1] in ("html", "noframes"):
+            if tok[1] == "noframes":
+                self._tag_in_head(tok)
+            else:
+                self._tag_in_body(tok)
+            return
+        self._err("expected-eof")
+
+
+def _ws_prefix(data: str) -> int:
+    i = 0
+    n = len(data)
+    while i < n and data[i] in _WS:
+        i += 1
+    return i
+
+
+def parse(html_text: str, *, reference_compat: bool = False,
+          collect_errors: bool = True) -> TreeBuilder:
+    """Parse one document: tokenizer → tree builder.
+
+    Engine version of HTMLParser::parse (html-qt/htmlparser.cpp:51-58):
+    set text, run tokenizer, construct tree — except tokens flow as a
+    materialized list (the reference's dead ``tokenQueue``,
+    htmltokenizer_p.h:163, done right) so the tree builder is a separate,
+    testable stage.
+    """
+    tk = HTMLTokenizer(html_text, reference_compat=reference_compat,
+                       collect_errors=collect_errors)
+    tokens, _tok_errors = tk.run()
+    tb = TreeBuilder(reference_compat=reference_compat,
+                     collect_errors=collect_errors)
+    tb.process(tokens)
+    return tb
