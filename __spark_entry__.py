@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` smoke-runs the flagship extraction; ``queries()`` exposes
+one entry per implemented operator (SURVEY.md §2 inventory + the
+training-data ops); ``oracle_sql()`` gives DuckDB-runnable equivalents for
+every SQL-expressible stage.  The interleaved input table is synthesized
+deterministically from documents.parquet by ONE shared SQL text
+(html_qt_spark.sources.interleaved.INTERLEAVED_SPANS_SQL) that runs
+unchanged in both engines — that is what makes the oracles exact.
 """
 
 from __future__ import annotations
@@ -12,27 +14,276 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window
 
+from html_qt_spark.sources.interleaved import (
+    INTERLEAVED_SPANS_SQL,
+    interleaved_exploded,
+    interleaved_nested,
+    oracle_cte,
+)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# --------------------------------------------------------------- entry
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: interleaved docs → boilerplate-stripped ordered spans."""
+    from html_qt_spark.operators.extract import extract_spans_doc
 
+    nested = interleaved_nested(spark, "/root/testdata/sf0.001")
+    return extract_spans_doc(nested)
+
+
+# ------------------------------------------------------------- queries
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from html_qt_spark.operators import dedup, multimodal, similarity, textstats
+    from html_qt_spark.operators.extract import (
+        extract_spans_doc,
+        extract_spans_exploded,
+    )
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def q_explode_spans(spark, sf):
+        return interleaved_exploded(spark, sf)
 
+    def q_media_filter(spark, sf):
+        return (interleaved_exploded(spark, sf)
+                .where(F.col("kind") == "media")
+                .select("doc_id", "offset", "media_ref"))
+
+    def q_span_stats(spark, sf):
+        return (interleaved_exploded(spark, sf)
+                .groupBy("doc_id")
+                .agg(F.count("*").alias("n_spans"),
+                     F.sum(F.when(F.col("kind") == "text", 1).otherwise(0))
+                     .cast("long").alias("n_text"),
+                     F.sum(F.when(F.col("kind") == "media", 1).otherwise(0))
+                     .cast("long").alias("n_media"),
+                     F.sum(F.coalesce(F.length("text"), F.lit(0)))
+                     .cast("long").alias("sum_chars")))
+
+    def q_span_order(spark, sf):
+        w = Window.partitionBy("doc_id").orderBy("offset")
+        return (interleaved_exploded(spark, sf)
+                .select("doc_id", "offset", "kind",
+                        F.row_number().over(w).cast("long")
+                        .alias("span_rank")))
+
+    def q_media_join(spark, sf):
+        manifest = spark.createDataFrame(
+            [("img", "image"), ("vid", "video"), ("aud", "audio")],
+            ["scheme", "media_type"])
+        media = (interleaved_exploded(spark, sf)
+                 .where(F.col("kind") == "media")
+                 .withColumn("scheme", F.substring("media_ref", 1, 3)))
+        return (media.join(F.broadcast(manifest), "scheme", "left")
+                .select("doc_id", "media_ref", "media_type"))
+
+    def q_metrics_rollup(spark, sf):
+        return (interleaved_exploded(spark, sf)
+                .rollup("kind")
+                .agg(F.count("*").alias("n_spans"),
+                     F.sum(F.coalesce(F.length("text"), F.lit(0)))
+                     .cast("long").alias("sum_chars")))
+
+    def q_exact_dedup(spark, sf):
+        return dedup.exact_dedup(_docs(spark, sf))
+
+    def q_minhash_signatures(spark, sf):
+        return dedup.minhash_signatures(_docs(spark, sf), num_hashes=8)
+
+    def q_token_count(spark, sf):
+        return textstats.token_count(_docs(spark, sf))
+
+    def q_quality_score(spark, sf):
+        return textstats.quality_score(_docs(spark, sf))
+
+    def q_lang_id(spark, sf):
+        return textstats.lang_id(_docs(spark, sf))
+
+    def q_fingerprint(spark, sf):
+        return textstats.fingerprint(_docs(spark, sf)).select("doc_id", "fp8")
+
+    def q_lang_dist(spark, sf):
+        return (_docs(spark, sf).groupBy("lang")
+                .agg(F.count("*").alias("n_docs"),
+                     F.sum("n_chars").cast("long").alias("sum_chars")))
+
+    def q_cosine_topk(spark, sf):
+        return similarity.cosine_topk(_emb(spark, sf), query_vec_id=0, k=10) \
+            .select("vec_id", F.col("rank").cast("long").alias("rank"))
+
+    # ----- non-SQL-expressible (rows-only checks): kernel + scale paths
+    def q_extract_doc(spark, sf):
+        return extract_spans_doc(interleaved_nested(spark, sf))
+
+    def q_extract_exploded(spark, sf):
+        return extract_spans_exploded(interleaved_exploded(spark, sf))
+
+    def q_extract_compat(spark, sf):
+        return extract_spans_doc(interleaved_nested(spark, sf),
+                                 reference_compat=True)
+
+    def q_minhash_lsh_pairs(spark, sf):
+        return dedup.minhash_lsh_pairs(_docs(spark, sf))
+
+    def q_simhash(spark, sf):
+        return dedup.simhash(_docs(spark, sf))
+
+    def q_ngram_jaccard(spark, sf):
+        return dedup.ngram_jaccard_pairs(_docs(spark, sf), n=3,
+                                         min_jaccard=0.2)
+
+    def q_ann_lsh_topk(spark, sf):
+        return similarity.ann_lsh_topk(_emb(spark, sf), query_vec_id=0, k=10)
+
+    def q_media_decode(spark, sf):
+        media = (interleaved_exploded(spark, sf)
+                 .where(F.col("kind") == "media"))
+        return multimodal.decode_media(media)
+
+    def q_frame_sample(spark, sf):
+        media = (interleaved_exploded(spark, sf)
+                 .where(F.col("kind") == "media"))
+        return multimodal.frame_sample_plan(
+            multimodal.decode_media(media), every_ms=60000)
+
+    return {
+        "explode_spans": q_explode_spans,
+        "media_filter": q_media_filter,
+        "span_stats": q_span_stats,
+        "span_order": q_span_order,
+        "media_join": q_media_join,
+        "metrics_rollup": q_metrics_rollup,
+        "exact_dedup": q_exact_dedup,
+        "minhash_signatures": q_minhash_signatures,
+        "token_count": q_token_count,
+        "quality_score": q_quality_score,
+        "lang_id": q_lang_id,
+        "fingerprint": q_fingerprint,
+        "lang_dist": q_lang_dist,
+        "cosine_topk": q_cosine_topk,
+        "extract_doc": q_extract_doc,
+        "extract_exploded": q_extract_exploded,
+        "extract_compat": q_extract_compat,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "simhash": q_simhash,
+        "ngram_jaccard": q_ngram_jaccard,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "media_decode": q_media_decode,
+        "frame_sample": q_frame_sample,
+    }
+
+
+# ---------------------------------------------------------- oracle SQL
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "explode_spans": oracle_cte(
+            'SELECT doc_id, "offset", kind, text, media_ref '
+            "FROM interleaved_spans"),
+        "media_filter": oracle_cte(
+            'SELECT doc_id, "offset", media_ref FROM interleaved_spans '
+            "WHERE kind = 'media'"),
+        "span_stats": oracle_cte(
+            "SELECT doc_id, count(*) AS n_spans, "
+            "CAST(sum(CASE WHEN kind='text' THEN 1 ELSE 0 END) AS BIGINT) AS n_text, "
+            "CAST(sum(CASE WHEN kind='media' THEN 1 ELSE 0 END) AS BIGINT) AS n_media, "
+            "CAST(sum(coalesce(length(text), 0)) AS BIGINT) AS sum_chars "
+            "FROM interleaved_spans GROUP BY doc_id"),
+        "span_order": oracle_cte(
+            'SELECT doc_id, "offset", kind, '
+            'CAST(row_number() OVER (PARTITION BY doc_id ORDER BY "offset") '
+            "AS BIGINT) AS span_rank FROM interleaved_spans"),
+        "media_join": oracle_cte(
+            "SELECT s.doc_id, s.media_ref, m.media_type "
+            "FROM interleaved_spans s "
+            "LEFT JOIN (VALUES ('img','image'),('vid','video'),"
+            "('aud','audio')) AS m(scheme, media_type) "
+            "ON substr(s.media_ref, 1, 3) = m.scheme "
+            "WHERE s.kind = 'media'"),
+        "metrics_rollup": oracle_cte(
+            "SELECT kind, count(*) AS n_spans, "
+            "CAST(sum(coalesce(length(text), 0)) AS BIGINT) AS sum_chars "
+            "FROM interleaved_spans GROUP BY ROLLUP(kind)"),
+        "exact_dedup": (
+            "SELECT md5(text) AS fp, count(*) AS dup_count, "
+            "min(doc_id) AS keep_id FROM documents GROUP BY md5(text)"),
+        "minhash_signatures": (
+            "WITH ts AS (SELECT doc_id, list_filter(string_split(text, ' '), "
+            "x -> x <> '') AS toks FROM documents), "
+            "pos AS (SELECT doc_id, toks, "
+            "unnest(range(1, greatest(len(toks) - 2, 0) + 1)) AS i FROM ts), "
+            "sh AS (SELECT doc_id, array_to_string(toks[i:i+2], ' ') "
+            "AS shingle FROM pos) "
+            "SELECT doc_id, "
+            + ", ".join(
+                f"min(md5('{j}:' || shingle)) AS sig_{j}" for j in range(8))
+            + " FROM sh GROUP BY doc_id"),
+        "token_count": (
+            "SELECT doc_id, "
+            "CAST(len(list_filter(string_split(text, ' '), "
+            "x -> x <> '')) AS INT) AS n_tokens, "
+            "CAST(length(text) AS INT) AS n_chars FROM documents"),
+        "quality_score": (
+            "WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok "
+            "FROM documents) "
+            "SELECT doc_id, count(*) AS n_tokens, "
+            "count(DISTINCT tok) AS vocab, "
+            "CAST(floor(sum(length(tok)) * 100.0 / count(*)) AS BIGINT) "
+            "AS mean_tok_len_x100, "
+            "CAST(floor(count(DISTINCT tok) * 1000.0 / count(*)) AS BIGINT) "
+            "AS ttr_x1000 "
+            "FROM toks WHERE tok <> '' GROUP BY doc_id"),
+        "lang_id": (
+            "WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok "
+            "FROM documents), "
+            "scored AS (SELECT doc_id, "
+            "sum(CASE WHEN tok IN ('the','and','of','to','in') THEN 1 ELSE 0 END) AS s_en, "
+            "sum(CASE WHEN tok IN ('el','la','de','que','los') THEN 1 ELSE 0 END) AS s_es, "
+            "sum(CASE WHEN tok IN ('le','la','et','les','des') THEN 1 ELSE 0 END) AS s_fr, "
+            "sum(CASE WHEN tok IN ('der','die','und','das','ist') THEN 1 ELSE 0 END) AS s_de "
+            "FROM toks GROUP BY doc_id) "
+            "SELECT doc_id, "
+            "CASE WHEN greatest(s_en,s_es,s_fr,s_de) = 0 THEN 'und' "
+            "WHEN s_en = greatest(s_en,s_es,s_fr,s_de) THEN 'en' "
+            "WHEN s_es = greatest(s_en,s_es,s_fr,s_de) THEN 'es' "
+            "WHEN s_fr = greatest(s_en,s_es,s_fr,s_de) THEN 'fr' "
+            "ELSE 'de' END AS lang_pred, "
+            "CAST(greatest(s_en,s_es,s_fr,s_de) AS BIGINT) AS lang_hits "
+            "FROM scored"),
+        "fingerprint": (
+            "SELECT doc_id, substr(md5(text), 1, 8) AS fp8 FROM documents"),
+        "lang_dist": (
+            "SELECT lang, count(*) AS n_docs, "
+            "CAST(sum(n_chars) AS BIGINT) AS sum_chars "
+            "FROM documents GROUP BY lang"),
+        "cosine_topk": (
+            "WITH q AS (SELECT embedding AS q_emb FROM embeddings "
+            "WHERE vec_id = 0) "
+            "SELECT vec_id, CAST(row_number() OVER (ORDER BY "
+            "list_cosine_similarity(e.embedding, q.q_emb) DESC, vec_id) "
+            "AS BIGINT) AS rank "
+            "FROM embeddings e, q WHERE vec_id <> 0 "
+            "ORDER BY list_cosine_similarity(e.embedding, q.q_emb) DESC, "
+            "vec_id LIMIT 10"),
+    }
+
+
+if __name__ == "__main__":
+    from html_qt_spark.plans.session import get_spark
+
+    spark = get_spark(cpus=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    df = entry(spark)
+    print("entry rows:", df.count())
+    df.show(10, truncate=60)

@@ -1,0 +1,181 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Exact and near-duplicate detection over the ``documents`` table, all
+expressed as DataFrame plans (shuffle-aware, no driver loops):
+
+- exact: hash-groupBy on md5(text) — one shuffle, map-side partial agg.
+- minhash: k independent signatures via min(md5(seed || token)) — explode
+  + 2-level agg; signatures are deterministic and DuckDB-reproducible.
+- minhash LSH bands: group signature vector into bands, bucket-join docs
+  sharing a band hash — the scale path (candidate pairs without O(n²)).
+- simhash: 64-bit weighted-bit fingerprint via xxhash64, pure JVM-side
+  (no Python), hamming-distance candidates by band equality.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """md5-fingerprint groups: (fp, dup_count, keep_id).
+
+    At 10^12 docs this is one hash-shuffle on a 128-bit key with map-side
+    combine; output is the dedup decision table (keep_id survives).
+    """
+    return (
+        docs.groupBy(F.md5("text").alias("fp"))
+        .agg(F.count("*").alias("dup_count"),
+             F.min("doc_id").alias("keep_id"))
+    )
+
+
+def _tokens(docs: DataFrame) -> DataFrame:
+    return docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+
+
+def shingles(docs: DataFrame, *, n: int = 3) -> DataFrame:
+    """(doc_id, shingle) word n-gram shingles, JVM-side.
+
+    Built without a window: slice the token array to the first len-n+1
+    positions, transform each position into the joined n-gram.  Unigram
+    shingles are useless for near-dup detection on corpora with a shared
+    vocabulary (every doc collides); n>=3 keeps LSH candidate sets sparse.
+    Docs with fewer than n tokens emit no shingles.
+    """
+    toks = docs.select(
+        "doc_id",
+        F.filter(F.split("text", " "), lambda t: t != "").alias("ts"),
+    )
+    return toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.slice("ts", 1, F.greatest(F.size("ts") - (n - 1), F.lit(0))),
+                lambda _x, i: F.concat_ws(" ", F.slice("ts", i + 1, n)),
+            )
+        ).alias("shingle"),
+    )
+
+
+def minhash_signatures(docs: DataFrame, *, num_hashes: int = 8,
+                       shingle_n: int = 3) -> DataFrame:
+    """(doc_id, sig_0..sig_{k-1}) MinHash over word n-gram shingles.
+
+    Hash family: md5(seed || shingle) — deterministic, engine-portable
+    (DuckDB oracle computes the identical strings).  Explode + groupBy is
+    one shuffle; the k mins fold in a single aggregation pass (min over
+    the multiset equals min over the set, so no distinct needed).
+    """
+    sh = shingles(docs, n=shingle_n)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(str(j) + ":"), F.col("shingle"))))
+        .alias(f"sig_{j}")
+        for j in range(num_hashes)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(docs: DataFrame, *, num_hashes: int = 16,
+                      bands: int = 4) -> DataFrame:
+    """Candidate near-duplicate pairs via banded LSH.
+
+    Signature split into ``bands`` bands of ``num_hashes/bands`` rows;
+    docs sharing any band-hash are candidates.  Self-join happens on the
+    band bucket (small, high-selectivity keys) — never on the full corpus.
+    Returns (doc_a, doc_b) with doc_a < doc_b, distinct.
+    """
+    sig = minhash_signatures(docs, num_hashes=num_hashes)
+    rows_per_band = num_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        cols = [f"sig_{b * rows_per_band + r}" for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"),
+                     F.md5(F.concat_ws("|", *cols)).alias("bucket"))
+        )
+    buckets = sig.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bb")
+    ).select("doc_id", "bb.band", "bb.bucket")
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def simhash(docs: DataFrame, *, bits: int = 64) -> DataFrame:
+    """64-bit SimHash fingerprint, fully JVM-side (xxhash64 + bit ops).
+
+    Classic Charikar sketch: sum ±1 per bit over token hashes, sign →
+    fingerprint bit.  Everything stays in whole-stage codegen: explode,
+    bitwise ops, groupBy — no Python worker round-trip.
+    Returns (doc_id, simhash:long).
+    """
+    toks = _tokens(docs).withColumn("h", F.xxhash64("tok"))
+    per_bit = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1,
+                   F.lit(1)).otherwise(F.lit(-1))
+        ).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    agg = toks.groupBy("doc_id").agg(*per_bit)
+    fp = F.lit(0).cast("long")
+    for i in range(bits):
+        fp = fp + F.when(F.col(f"b{i}") > 0,
+                         F.shiftleft(F.lit(1).cast("long"), i)
+                         ).otherwise(F.lit(0).cast("long"))
+    return agg.select("doc_id", fp.alias("simhash"))
+
+
+def ngram_jaccard_pairs(docs: DataFrame, *, n: int = 3,
+                        min_jaccard: float = 0.5,
+                        max_pairs_per_shingle: int = 1000) -> DataFrame:
+    """Exact n-gram Jaccard over shingle sets, candidate-pruned.
+
+    Shingles built with a window-free trick: posexplode tokens, self-align
+    by (doc_id, pos) using concat of leads via collect over a small array —
+    here done with F.transform over a sliced token array (JVM-side).
+    Candidates = docs sharing a shingle (grouped, capped against
+    mega-buckets); exact Jaccard computed from shingle-set sizes:
+    J = |A∩B| / (|A| + |B| - |A∩B|).
+    Returns (doc_a, doc_b, jaccard double).
+    """
+    shingled = shingles(docs, n=n).distinct()
+    sizes = shingled.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    # prune shingles shared by too many docs (stopword-like n-grams):
+    # they explode the pair count quadratically at scale
+    freq = shingled.groupBy("shingle").agg(F.count("*").alias("df"))
+    pruned = shingled.join(
+        freq.where(F.col("df").between(2, max_pairs_per_shingle)),
+        "shingle")
+    a = pruned.alias("a")
+    b = pruned.alias("b")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"),
+                 F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        inter.join(F.broadcast(sizes).alias("sa"),
+                   F.col("doc_a") == F.col("sa.doc_id"))
+        .join(F.broadcast(sizes).alias("sb"),
+              F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a", "doc_b",
+            (F.col("n_common") /
+             (F.col("sa.sz") + F.col("sb.sz") - F.col("n_common"))
+             ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= min_jaccard)
+    )

@@ -1,0 +1,159 @@
+"""Spark extraction operators: the vectorized Arrow path for the kernel.
+
+Two physical strategies for the same logical op (BASELINE.json north_star:
+"batch-tokenize raw HTML bytes ... emit ordered (kind,text,media_ref,offset)
+spans per document"):
+
+``extract_spans_doc``  — document-at-a-time ``mapInPandas``.  ZERO shuffles:
+    each input row (doc_id, spans) maps to its output spans inside one Arrow
+    batch.  This is the default path; at 10^12 docs the job is then scan →
+    narrow map → write, and scales linearly with executors.
+
+``extract_spans_exploded`` — span-at-a-time for skew: mega-documents whose
+    spans are many/huge get their *spans* spread across tasks (explode is
+    narrow), extraction runs per HTML fragment, and a single window restores
+    per-document span numbering.  One shuffle (the window) buys per-span
+    parallelism — use when doc-size skew stalls stragglers (SURVEY.md §4.2:
+    value-computation skew AQE cannot see).
+
+Both run the same pure-Python kernel (html_qt_spark.kernel) inside Arrow
+batches — no per-row Python UDFs (input_hint mandate).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+OUT_FIELDS = "doc_id string, span_idx int, kind string, text string, media_ref string, offset int"
+
+OUT_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.StringType()),
+    T.StructField("span_idx", T.IntegerType()),
+    T.StructField("kind", T.StringType()),
+    T.StructField("text", T.StringType()),
+    T.StructField("media_ref", T.StringType()),
+    T.StructField("offset", T.IntegerType()),
+])
+
+_FRAGMENT_SCHEMA = T.ArrayType(T.StructType([
+    T.StructField("kind", T.StringType()),
+    T.StructField("text", T.StringType()),
+    T.StructField("media_ref", T.StringType()),
+]))
+
+
+def extract_spans_doc(df: DataFrame, *, reference_compat: bool = False,
+                      max_link_density: float = 0.5,
+                      min_words: int = 1) -> DataFrame:
+    """(doc_id, spans) → (doc_id, span_idx, kind, text, media_ref, offset).
+
+    Narrow transformation: no shuffle, no driver round-trip.  Input text
+    spans run through the fused tokenize→tree→extract kernel; media spans
+    pass through at their document position.
+    """
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # import inside the worker so the kernel ships via --py-files
+        from html_qt_spark.kernel.extractor import extract_html
+
+        for pdf in batches:
+            doc_ids: list[str] = []
+            span_idxs: list[int] = []
+            kinds: list[str] = []
+            texts: list[str | None] = []
+            refs: list[str | None] = []
+            offsets: list[int] = []
+            for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
+                idx = 0
+                if spans is None:
+                    continue
+                for span in spans:
+                    kind = span["kind"]
+                    offset = span["offset"]
+                    if kind == "media":
+                        doc_ids.append(doc_id)
+                        span_idxs.append(idx)
+                        kinds.append("media")
+                        texts.append(span["text"])
+                        refs.append(span["media_ref"])
+                        offsets.append(offset)
+                        idx += 1
+                        continue
+                    html = span["text"]
+                    if not html:
+                        continue
+                    for k, t, m in extract_html(
+                            html,
+                            reference_compat=reference_compat,
+                            max_link_density=max_link_density,
+                            min_words=min_words):
+                        doc_ids.append(doc_id)
+                        span_idxs.append(idx)
+                        kinds.append(k)
+                        texts.append(t)
+                        refs.append(m)
+                        offsets.append(offset)
+                        idx += 1
+            yield pd.DataFrame({
+                "doc_id": doc_ids, "span_idx": span_idxs, "kind": kinds,
+                "text": texts, "media_ref": refs, "offset": offsets,
+            })
+
+    return df.mapInPandas(process, schema=OUT_SCHEMA)
+
+
+@F.pandas_udf(_FRAGMENT_SCHEMA)
+def _extract_fragment(html: pd.Series) -> pd.Series:
+    """HTML fragment → array<struct<kind,text,media_ref>> (Arrow-batched)."""
+    from html_qt_spark.kernel.extractor import extract_html
+
+    out = []
+    for doc in html:
+        if not doc:
+            out.append([])
+            continue
+        out.append([
+            {"kind": k, "text": t, "media_ref": m}
+            for k, t, m in extract_html(doc)
+        ])
+    return pd.Series(out)
+
+
+def extract_spans_exploded(df_exploded: DataFrame) -> DataFrame:
+    """Skew path over the exploded form (doc_id, offset, kind, text,
+    media_ref): per-span extraction + one window to number spans.
+
+    Mega-documents parallelize across their spans; the window shuffle is
+    keyed on doc_id so AQE's skew-join splitting and post-shuffle
+    coalescing apply.
+    """
+    extracted = df_exploded.withColumn(
+        "_out",
+        F.when(
+            F.col("kind") == "media",
+            F.array(F.struct(
+                F.lit("media").alias("kind"),
+                F.col("text").alias("text"),
+                F.col("media_ref").alias("media_ref"),
+            )),
+        ).otherwise(_extract_fragment(F.col("text"))),
+    )
+    w = Window.partitionBy("doc_id").orderBy("offset", "_inner")
+    return (
+        extracted
+        .select("doc_id", "offset",
+                F.posexplode("_out").alias("_inner", "_span"))
+        .withColumn("span_idx", (F.row_number().over(w) - F.lit(1)).cast("int"))
+        .select(
+            "doc_id", "span_idx",
+            F.col("_span.kind").alias("kind"),
+            F.col("_span.text").alias("text"),
+            F.col("_span.media_ref").alias("media_ref"),
+            "offset",
+        )
+    )

@@ -1,0 +1,94 @@
+"""Multimodal column handling: opaque binary payloads + typed metadata.
+
+Media documents travel as opaque references / binary blobs with a typed
+metadata struct; decode / feature-extract / resize / frame-sample run as
+Arrow-batched functions over ``mapInPandas``.  The image/audio codecs are
+NOT in this container, so the decode step is a clearly-marked deterministic
+stub (``_fake_decode``) — the Spark-side plumbing (schema, partitioning,
+UDF signature, batch shape) is real and tested, and swapping the stub for
+PIL/ffmpeg is a one-function change on the executor image.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+MEDIA_META_SCHEMA = T.StructType([
+    T.StructField("media_ref", T.StringType()),
+    T.StructField("modality", T.StringType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("duration_ms", T.IntegerType()),
+    T.StructField("feature", T.ArrayType(T.FloatType())),
+])
+
+
+def _fake_decode(ref: str) -> tuple[str, int, int, int, list[float]]:
+    """Deterministic stand-in for the codec stack.
+
+    STUB: the container has no image/audio libraries.  Real deployment
+    replaces this body with PIL/av decode + model feature extraction; the
+    signature and the surrounding Arrow plumbing stay identical.
+    Derives stable pseudo-metadata from the ref string so tests are
+    reproducible.
+    """
+    h = 0
+    for ch in ref:
+        h = (h * 131 + ord(ch)) & 0x7FFFFFFF
+    modality = ("image" if ref.startswith("img://")
+                else "video" if ref.startswith("vid://")
+                else "audio" if ref.startswith("aud://")
+                else "unknown")
+    width = 160 + h % 1920
+    height = 90 + (h >> 8) % 1080
+    duration = 0 if modality == "image" else 1000 + (h >> 16) % 600000
+    feature = [((h >> (i % 24)) % 256) / 255.0 for i in range(8)]
+    return modality, width, height, duration, feature
+
+
+def decode_media(media_refs: DataFrame, *, ref_col: str = "media_ref"
+                 ) -> DataFrame:
+    """(.., media_ref) → MEDIA_META_SCHEMA rows, Arrow-batched.
+
+    Narrow map over whatever partitioning the input has — at scale,
+    repartition upstream by a hash of the ref so hot CDNs/hosts don't
+    skew decode tasks.
+    """
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"media_ref": [], "modality": [], "width": [],
+                    "height": [], "duration_ms": [], "feature": []}
+            for ref in pdf[ref_col]:
+                if ref is None:
+                    continue
+                modality, w, hgt, dur, feat = _fake_decode(ref)
+                rows["media_ref"].append(ref)
+                rows["modality"].append(modality)
+                rows["width"].append(w)
+                rows["height"].append(hgt)
+                rows["duration_ms"].append(dur)
+                rows["feature"].append(feat)
+            yield pd.DataFrame(rows)
+
+    return media_refs.select(ref_col).mapInPandas(
+        process, schema=MEDIA_META_SCHEMA)
+
+
+def frame_sample_plan(decoded: DataFrame, *, every_ms: int = 5000
+                      ) -> DataFrame:
+    """Videos → one row per sampled frame timestamp (plumbing for a frame
+    extractor; JVM-side sequence, no Python).  Returns
+    (media_ref, frame_ts_ms)."""
+    from pyspark.sql import functions as F
+    vids = decoded.where(F.col("modality") == "video")
+    return vids.select(
+        "media_ref",
+        F.explode(
+            F.sequence(F.lit(0), F.col("duration_ms"), F.lit(every_ms))
+        ).alias("frame_ts_ms"),
+    )

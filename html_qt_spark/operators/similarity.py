@@ -1,0 +1,130 @@
+"""Similarity search over the ``embeddings`` table (vec_id, embedding:
+array<float>, label).
+
+- brute-force cosine top-k: the exactness baseline.  All JVM-side:
+  zip_with + aggregate fold for the dot product, no Python workers.
+- LSH-bucketed (random hyperplane / SRP) variant: the scale path —
+  candidates only within matching sign-buckets, then exact re-rank.
+  Hyperplanes are deterministic (seeded from the dimension index via
+  xxhash64) so results are reproducible without shipping a model.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine_topk(embeddings: DataFrame, query_vec_id: int = 0,
+                k: int = 10) -> DataFrame:
+    """Exact top-k cosine neighbors of one stored vector.
+
+    The query vector (1 row) broadcasts; the scan stays a single narrow
+    pass — at 10^9 vectors this is scan + broadcast-join + top-k
+    (takeOrdered semantics via ORDER/LIMIT, which Spark executes as a
+    per-partition partial top-k then a driver merge, no full sort).
+    Returns (vec_id, rank) — integer-only so the DuckDB oracle matches
+    without float-formatting drift.
+    """
+    q = (embeddings.where(F.col("vec_id") == query_vec_id)
+         .select(F.col("embedding").alias("q_emb")))
+    from pyspark.sql import Window
+    scored = (
+        embeddings.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != query_vec_id)
+        .select(
+            "vec_id",
+            (_dot(F.col("embedding"), F.col("q_emb"))
+             / (_norm(F.col("embedding")) * _norm(F.col("q_emb"))))
+            .alias("cos"),
+        )
+    )
+    topk = scored.orderBy(F.col("cos").desc(), F.col("vec_id")).limit(k)
+    # rank assignment is a window over k rows only (post-LIMIT, tiny)
+    w = Window.orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return topk.select("vec_id", F.row_number().over(w).alias("rank"))
+
+
+def cosine_topk_scores(embeddings: DataFrame, query_vec_id: int = 0,
+                       k: int = 10) -> DataFrame:
+    """Top-k with the cosine score kept (rounded for stability)."""
+    q = (embeddings.where(F.col("vec_id") == query_vec_id)
+         .select(F.col("embedding").alias("q_emb")))
+    return (
+        embeddings.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != query_vec_id)
+        .select(
+            "vec_id",
+            F.round(
+                _dot(F.col("embedding"), F.col("q_emb"))
+                / (_norm(F.col("embedding")) * _norm(F.col("q_emb"))), 6
+            ).alias("cos"),
+        )
+        .orderBy(F.col("cos").desc(), F.col("vec_id"))
+        .limit(k)
+    )
+
+
+def srp_buckets(embeddings: DataFrame, *, n_planes: int = 8,
+                dim: int = 64) -> DataFrame:
+    """Signed-random-projection bucket per vector: n_planes sign bits.
+
+    Deterministic hyperplanes: plane p, dim d weight =
+    (xxhash64(p:d) % 1001 - 500) / 500.0 — reproducible on any engine, no
+    model artifact to ship.  Returns (vec_id, bucket:string).
+    """
+    emb = F.col("embedding")
+    bits = []
+    for p in range(n_planes):
+        acc = F.lit(0.0)
+        # weight vector folded into an expression tree: a dot product with
+        # a pseudo-random ±[0,1] plane; stays in codegen, no UDF
+        acc = F.aggregate(
+            F.zip_with(
+                emb,
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(dim - 1)),
+                    lambda d: (
+                        (F.xxhash64(F.concat_ws(
+                            ":", F.lit(str(p)), d.cast("string")))
+                         % 1001 - 500) / 500.0
+                    ),
+                ),
+                lambda x, w: x * w,
+            ),
+            F.lit(0.0),
+            lambda a, v: a + v,
+        )
+        bits.append(F.when(acc >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return embeddings.select(
+        "vec_id", F.concat(*bits).alias("bucket"))
+
+
+def ann_lsh_topk(embeddings: DataFrame, query_vec_id: int = 0,
+                 k: int = 10, *, n_planes: int = 6,
+                 dim: int = 64) -> DataFrame:
+    """ANN: restrict the exact cosine to the query's SRP bucket, then
+    re-rank.  At scale the bucket join replaces the full-corpus scan with
+    ~corpus/2^n_planes candidates; recall tunes via n_planes."""
+    buckets = srp_buckets(embeddings, n_planes=n_planes, dim=dim)
+    qb = buckets.where(F.col("vec_id") == query_vec_id) \
+                .select(F.col("bucket").alias("q_bucket"))
+    candidates = (
+        buckets.crossJoin(F.broadcast(qb))
+        .where(F.col("bucket") == F.col("q_bucket"))
+        .select("vec_id")
+    )
+    cand_emb = embeddings.join(F.broadcast(candidates), "vec_id")
+    return cosine_topk_scores(cand_emb, query_vec_id, k)

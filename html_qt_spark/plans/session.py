@@ -1,0 +1,39 @@
+"""SparkSession factory with the engine's scale-tuned defaults."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app: str = "html_qt_spark", *, cpus: int | None = None,
+              shuffle_partitions: int | None = None) -> SparkSession:
+    """Local-mode session sized per driver env; on a real cluster these
+    settings come from spark-submit and this builder is a no-op getOrCreate.
+
+    - AQE on: post-shuffle coalescing + skew-join splitting for free.
+    - Arrow batch capped (north_rule skew note, SURVEY.md §4.1): one Arrow
+      batch of mega-documents must fit in a Python worker; 256 rows of
+      ~100KB docs ≈ 25MB per batch.
+    - shuffle.partitions sized to cores (not the 200 default) so the
+      window/groupBy stages don't fragment at small scale; at cluster
+      scale this is set to 2-3x total cores by the submitter.
+    """
+    cpus = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app)
+        .config("spark.sql.shuffle.partitions",
+                str(shuffle_partitions or max(cpus, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory",
+                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    return builder.getOrCreate()
