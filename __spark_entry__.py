@@ -118,6 +118,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .agg(F.count("*").alias("n_docs"),
                      F.sum("n_chars").cast("long").alias("sum_chars")))
 
+    def q_event_sessions(spark, sf):
+        # gap-based sessionization (30-min inactivity): lag + running sum
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        w = Window.partitionBy("user_id").orderBy("ts")
+        gaps = ev.select(
+            "user_id", "ts", "value",
+            F.when(
+                (F.unix_timestamp("ts")
+                 - F.unix_timestamp(F.lag("ts").over(w))) > 1800, 1
+            ).otherwise(0).alias("new_sess"))
+        sess = gaps.withColumn(
+            "session_id",
+            F.sum("new_sess").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"))
+        return (sess.groupBy("user_id", "session_id")
+                .agg(F.count("*").alias("n_events"),
+                     F.floor(F.sum("value")).cast("long").alias("sum_value")))
+
+    def q_event_windows(spark, sf):
+        # tumbling 1-hour windows: epoch-bucketed (portable across engines)
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        return (ev.groupBy(
+                    F.floor(F.unix_timestamp("ts") / 3600).cast("long")
+                    .alias("hour_bucket"),
+                    "event_type")
+                .agg(F.count("*").alias("n_events"),
+                     F.floor(F.sum("value")).cast("long").alias("sum_value")))
+
     def q_cosine_topk(spark, sf):
         return similarity.cosine_topk(_emb(spark, sf), query_vec_id=0, k=10) \
             .select("vec_id", F.col("rank").cast("long").alias("rank"))
@@ -171,6 +199,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
         "lang_dist": q_lang_dist,
+        "event_sessions": q_event_sessions,
+        "event_windows": q_event_windows,
         "cosine_topk": q_cosine_topk,
         "extract_doc": q_extract_doc,
         "extract_exploded": q_extract_exploded,
@@ -267,6 +297,22 @@ def oracle_sql() -> dict[str, str]:
             "SELECT lang, count(*) AS n_docs, "
             "CAST(sum(n_chars) AS BIGINT) AS sum_chars "
             "FROM documents GROUP BY lang"),
+        "event_sessions": (
+            "WITH gaps AS (SELECT user_id, ts, value, "
+            "CASE WHEN epoch(ts) - epoch(lag(ts) OVER "
+            "(PARTITION BY user_id ORDER BY ts)) > 1800 THEN 1 ELSE 0 END "
+            "AS new_sess FROM events), "
+            "sess AS (SELECT user_id, value, "
+            "CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts "
+            "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM gaps) "
+            "SELECT user_id, session_id, count(*) AS n_events, "
+            "CAST(floor(sum(value)) AS BIGINT) AS sum_value "
+            "FROM sess GROUP BY user_id, session_id"),
+        "event_windows": (
+            "SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_bucket, "
+            "event_type, count(*) AS n_events, "
+            "CAST(floor(sum(value)) AS BIGINT) AS sum_value "
+            "FROM events GROUP BY 1, 2"),
         "cosine_topk": (
             "WITH q AS (SELECT embedding AS q_emb FROM embeddings "
             "WHERE vec_id = 0) "

@@ -47,14 +47,25 @@ _FRAGMENT_SCHEMA = T.ArrayType(T.StructType([
 ]))
 
 
+QUARANTINE_KIND = "__quarantine__"
+
+
 def extract_spans_doc(df: DataFrame, *, reference_compat: bool = False,
                       max_link_density: float = 0.5,
-                      min_words: int = 1) -> DataFrame:
+                      min_words: int = 1,
+                      max_span_bytes: int | None = None) -> DataFrame:
     """(doc_id, spans) → (doc_id, span_idx, kind, text, media_ref, offset).
 
     Narrow transformation: no shuffle, no driver round-trip.  Input text
     spans run through the fused tokenize→tree→extract kernel; media spans
     pass through at their document position.
+
+    Poison-pill policy (engine version of the reference's fatal
+    no-progress guard, html-qt/htmltokenizer.cpp:66-80, made non-fatal —
+    a 10^12-doc job must not die on one doc): a span larger than
+    ``max_span_bytes`` or a kernel exception quarantines the DOCUMENT
+    into rows with kind=QUARANTINE_KIND (reason in ``text``) instead of
+    failing the task.
     """
 
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -68,43 +79,64 @@ def extract_spans_doc(df: DataFrame, *, reference_compat: bool = False,
             texts: list[str | None] = []
             refs: list[str | None] = []
             offsets: list[int] = []
-            for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
+
+            def emit(doc_id, idx, kind, text, ref, offset) -> None:
+                doc_ids.append(doc_id)
+                span_idxs.append(idx)
+                kinds.append(kind)
+                texts.append(text)
+                refs.append(ref)
+                offsets.append(offset)
+
+            for doc_id, s_kinds, s_texts, s_refs, s_offsets in zip(
+                    pdf["doc_id"], pdf["_kinds"], pdf["_texts"],
+                    pdf["_refs"], pdf["_offsets"]):
                 idx = 0
-                if spans is None:
+                if s_kinds is None:
                     continue
-                for span in spans:
-                    kind = span["kind"]
-                    offset = span["offset"]
-                    if kind == "media":
-                        doc_ids.append(doc_id)
-                        span_idxs.append(idx)
-                        kinds.append("media")
-                        texts.append(span["text"])
-                        refs.append(span["media_ref"])
-                        offsets.append(offset)
-                        idx += 1
-                        continue
-                    html = span["text"]
-                    if not html:
-                        continue
-                    for k, t, m in extract_html(
-                            html,
-                            reference_compat=reference_compat,
-                            max_link_density=max_link_density,
-                            min_words=min_words):
-                        doc_ids.append(doc_id)
-                        span_idxs.append(idx)
-                        kinds.append(k)
-                        texts.append(t)
-                        refs.append(m)
-                        offsets.append(offset)
-                        idx += 1
+                mark = len(doc_ids)
+                try:
+                    for kind, html, ref, offset in zip(
+                            s_kinds, s_texts, s_refs, s_offsets):
+                        if kind == "media":
+                            emit(doc_id, idx, "media", html, ref, offset)
+                            idx += 1
+                            continue
+                        if not html:
+                            continue
+                        if max_span_bytes and len(html) > max_span_bytes:
+                            raise ValueError(
+                                f"oversize-span:{len(html)}")
+                        for k, t, m in extract_html(
+                                html,
+                                reference_compat=reference_compat,
+                                max_link_density=max_link_density,
+                                min_words=min_words):
+                            emit(doc_id, idx, k, t, m, offset)
+                            idx += 1
+                except Exception as exc:  # noqa: BLE001 — poison pill
+                    del doc_ids[mark:], span_idxs[mark:], kinds[mark:]
+                    del texts[mark:], refs[mark:], offsets[mark:]
+                    emit(doc_id, 0, QUARANTINE_KIND,
+                         f"{type(exc).__name__}:{exc}"[:512], None, 0)
             yield pd.DataFrame({
                 "doc_id": doc_ids, "span_idx": span_idxs, "kind": kinds,
                 "text": texts, "media_ref": refs, "offset": offsets,
             })
 
-    return df.mapInPandas(process, schema=OUT_SCHEMA)
+    # Flatten array<struct> into four parallel primitive arrays BEFORE the
+    # Arrow boundary: pyarrow→pandas conversion of array<struct> builds one
+    # Python dict per span (measured ~2.5x the whole kernel cost); four
+    # primitive list columns convert as flat buffers.  JVM-side projection,
+    # still zero shuffles.
+    flat = df.select(
+        "doc_id",
+        F.col("spans.kind").alias("_kinds"),
+        F.col("spans.text").alias("_texts"),
+        F.col("spans.media_ref").alias("_refs"),
+        F.col("spans.offset").alias("_offsets"),
+    )
+    return flat.mapInPandas(process, schema=OUT_SCHEMA)
 
 
 @F.pandas_udf(_FRAGMENT_SCHEMA)

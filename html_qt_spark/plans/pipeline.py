@@ -1,0 +1,134 @@
+"""Production extraction job: spans + quarantine + lineage + metrics
+sinks, checkpoint-resume via anti-join (north_rule).
+
+In production the sinks are Iceberg tables (``df.writeTo(...).append()``
+with snapshot isolation; resume pins the input snapshot id).  The sandbox
+has no Iceberg jar, so the same module writes parquet directories with an
+identical API surface — swapping ``_write`` for ``writeTo`` is the only
+deployment delta (SURVEY.md §7 step 6).
+
+Layout under ``out_dir``:
+  spans/       (doc_id, span_idx, kind, text, media_ref, offset)
+  quarantine/  (doc_id, reason, error_pos)
+  lineage/     (run_id, partition_id, docs_in, docs_out, spans_out,
+                quarantined, input_snapshot_id)
+  metrics/     (run_id, key, value)
+
+Resume semantics: a re-run with ``resume=True`` anti-joins the input
+against doc_ids already committed in spans/ + quarantine/, so a job killed
+mid-write continues from whatever partitions committed — zero duplicate
+(doc_id, span_idx) pairs (FIXTURES.md §6 invariant).
+"""
+
+from __future__ import annotations
+
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from html_qt_spark.operators.extract import QUARANTINE_KIND, extract_spans_doc
+
+
+def _write(df: DataFrame, path: str, mode: str = "append") -> None:
+    # Iceberg in production: df.writeTo(table).append()
+    df.write.mode(mode).parquet(path)
+
+
+def run_extraction_job(
+    spark: SparkSession,
+    nested: DataFrame,
+    out_dir: str,
+    *,
+    run_id: str | None = None,
+    resume: bool = False,
+    partitions: int | None = None,
+    max_span_bytes: int | None = 16_000_000,
+    input_snapshot_id: str = "parquet-sandbox",
+) -> dict:
+    """Run the flagship extraction with lineage + resume.
+
+    Partitioning (north_rule): repartition by xxhash64(doc_id) so doc
+    placement is uniform and deterministic; ``partitions`` defaults to
+    2x parallelism.  The extraction itself adds no shuffle.
+    """
+    run_id = run_id or uuid.uuid4().hex[:12]
+    sc = spark.sparkContext
+    partitions = partitions or sc.defaultParallelism * 2
+
+    if resume:
+        done: DataFrame | None = None
+        for sub in ("spans", "quarantine"):
+            try:
+                prev = spark.read.parquet(f"{out_dir}/{sub}") \
+                    .select("doc_id").distinct()
+                done = prev if done is None else done.union(prev).distinct()
+            except Exception:  # noqa: BLE001 — sink may not exist yet
+                continue
+        if done is not None:
+            nested = nested.join(done, "doc_id", "left_anti")
+
+    nested = nested.repartition(
+        partitions, F.pmod(F.xxhash64("doc_id"), F.lit(partitions)))
+
+    t0 = time.time()
+    out = extract_spans_doc(nested, max_span_bytes=max_span_bytes)
+    # one pass, cached at the partition boundary so the three sinks below
+    # don't re-run the kernel
+    out = out.persist()
+    spans = out.where(F.col("kind") != QUARANTINE_KIND)
+    quarantine = out.where(F.col("kind") == QUARANTINE_KIND).select(
+        "doc_id",
+        F.col("text").alias("reason"),
+        F.col("offset").alias("error_pos"),
+    )
+
+    _write(spans, f"{out_dir}/spans")
+    _write(quarantine, f"{out_dir}/quarantine")
+    wall_ms = int((time.time() - t0) * 1000)
+
+    # lineage: per-partition counters (cheap JVM aggregations over the
+    # cached one-pass output; docs_in from the repartitioned input)
+    docs_in = (nested.select("doc_id",
+                             F.spark_partition_id().alias("partition_id"))
+               .groupBy("partition_id")
+               .agg(F.count("*").alias("docs_in")))
+    out_part = (out.select("doc_id", "kind",
+                           F.spark_partition_id().alias("partition_id"))
+                .groupBy("partition_id")
+                .agg(F.countDistinct("doc_id").alias("docs_out"),
+                     F.sum(F.when(F.col("kind") != QUARANTINE_KIND, 1)
+                           .otherwise(0)).alias("spans_out"),
+                     F.sum(F.when(F.col("kind") == QUARANTINE_KIND, 1)
+                           .otherwise(0)).alias("quarantined")))
+    lineage = (docs_in.join(out_part, "partition_id", "full")
+               .na.fill(0)
+               .select(F.lit(run_id).alias("run_id"), "partition_id",
+                       "docs_in", "docs_out", "spans_out", "quarantined",
+                       F.lit(input_snapshot_id).alias("input_snapshot_id")))
+    _write(lineage, f"{out_dir}/lineage")
+
+    totals = out.agg(
+        F.countDistinct("doc_id").alias("docs"),
+        F.sum(F.when(F.col("kind") != QUARANTINE_KIND, 1).otherwise(0))
+        .alias("spans"),
+        F.sum(F.when(F.col("kind") == QUARANTINE_KIND, 1).otherwise(0))
+        .alias("quarantined"),
+    ).collect()[0]
+    metrics = spark.createDataFrame(
+        [(run_id, "docs_out", float(totals["docs"] or 0)),
+         (run_id, "spans_out", float(totals["spans"] or 0)),
+         (run_id, "quarantined", float(totals["quarantined"] or 0)),
+         (run_id, "wall_ms", float(wall_ms))],
+        ["run_id", "key", "value"])
+    _write(metrics, f"{out_dir}/metrics")
+    out.unpersist()
+
+    return {
+        "run_id": run_id,
+        "docs_out": int(totals["docs"] or 0),
+        "spans_out": int(totals["spans"] or 0),
+        "quarantined": int(totals["quarantined"] or 0),
+        "wall_ms": wall_ms,
+    }

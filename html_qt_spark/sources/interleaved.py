@@ -77,20 +77,36 @@ WHERE doc_id % 97 = 0
 """
 
 
-def register_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Register the driver-provided parquet tables needed by the SQL."""
+def register_documents(spark: SparkSession, sf_dir: str,
+                       replication: int = 1) -> DataFrame:
+    """Register the driver-provided parquet tables needed by the SQL.
+
+    ``replication > 1`` replicates every document deterministically with
+    distinct doc_ids (bench-only: the sandbox sf dirs are a few MB, far too
+    small to saturate 32 cores — replication scales the workload while
+    keeping it a pure function of the input).  Correctness queries and
+    oracles always run at replication=1.
+    """
     df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    if replication > 1:
+        rep = spark.range(replication).withColumnRenamed("id", "_r")
+        df = (df.crossJoin(rep)
+              .withColumn("doc_id",
+                          F.col("doc_id") + F.col("_r") * F.lit(10_000_000))
+              .drop("_r"))
     df.createOrReplaceTempView("documents")
     return df
 
 
-def interleaved_exploded(spark: SparkSession, sf_dir: str) -> DataFrame:
+def interleaved_exploded(spark: SparkSession, sf_dir: str,
+                         replication: int = 1) -> DataFrame:
     """Synthesized interleaved table, one row per span (exploded form)."""
-    register_documents(spark, sf_dir)
+    register_documents(spark, sf_dir, replication)
     return spark.sql(INTERLEAVED_SPANS_SQL)
 
 
-def interleaved_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+def interleaved_nested(spark: SparkSession, sf_dir: str,
+                       replication: int = 1) -> DataFrame:
     """Input-shape table per input_hint:
     (doc_id string, spans array<struct<kind,text,media_ref,offset>>).
 
@@ -99,7 +115,7 @@ def interleaved_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     without a window (cheaper at scale: no per-doc sort shuffle beyond
     the groupBy itself).
     """
-    ex = interleaved_exploded(spark, sf_dir)
+    ex = interleaved_exploded(spark, sf_dir, replication)
     return (
         ex.groupBy("doc_id")
         .agg(

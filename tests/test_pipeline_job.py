@@ -1,0 +1,90 @@
+"""Lineage / quarantine / resume invariants (FIXTURES.md §6)."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import pytest
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from html_qt_spark.plans.session import get_spark
+
+    s = get_spark(cpus=4, shuffle_partitions=8)
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+
+
+def test_job_lineage_invariants(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from html_qt_spark.plans.pipeline import run_extraction_job
+    from html_qt_spark.sources.interleaved import interleaved_nested
+
+    nested = interleaved_nested(spark, SF)
+    n_in = nested.count()
+    out_dir = str(tmp_path / "job1")
+    res = run_extraction_job(spark, nested, out_dir, max_span_bytes=None)
+
+    lineage = spark.read.parquet(f"{out_dir}/lineage")
+    sums = lineage.agg(F.sum("docs_in"), F.sum("docs_out"),
+                       F.sum("quarantined")).collect()[0]
+    assert sums[0] == n_in                         # sum(docs_in) == input
+    assert sums[1] + 0 == res["docs_out"]
+    assert res["quarantined"] == 0
+    metrics = {r.key: r.value for r in
+               spark.read.parquet(f"{out_dir}/metrics").collect()}
+    assert metrics["docs_out"] == res["docs_out"]
+    assert metrics["spans_out"] == res["spans_out"]
+
+
+def test_quarantine_poison_pill(spark, tmp_path):
+    from html_qt_spark.plans.pipeline import run_extraction_job
+    from html_qt_spark.sources.interleaved import interleaved_nested
+
+    nested = interleaved_nested(spark, SF)
+    out_dir = str(tmp_path / "job2")
+    # absurdly low span cap: every doc has a span over 100 bytes -> all
+    # docs must quarantine rather than fail the job
+    res = run_extraction_job(spark, nested, out_dir, max_span_bytes=100)
+    assert res["quarantined"] > 0
+    q = spark.read.parquet(f"{out_dir}/quarantine")
+    assert q.filter(q.reason.contains("oversize-span")).count() > 0
+
+
+def test_resume_no_duplicates(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from html_qt_spark.plans.pipeline import run_extraction_job
+    from html_qt_spark.sources.interleaved import interleaved_nested
+
+    nested = interleaved_nested(spark, SF)
+    out_dir = str(tmp_path / "job3")
+
+    # first run: only half the docs (simulates a job killed mid-input)
+    half = nested.where(F.col("doc_id").cast("long") % 2 == 0)
+    run_extraction_job(spark, half, out_dir, max_span_bytes=None)
+    n_after_half = spark.read.parquet(f"{out_dir}/spans").count()
+
+    # resume over the FULL input: must process only the missing half
+    res2 = run_extraction_job(spark, nested, out_dir, resume=True,
+                              max_span_bytes=None)
+    spans = spark.read.parquet(f"{out_dir}/spans")
+    assert spans.count() > n_after_half
+    # zero duplicate (doc_id, span_idx)
+    dupes = (spans.groupBy("doc_id", "span_idx").count()
+             .where(F.col("count") > 1).count())
+    assert dupes == 0
+    # all docs present
+    assert spans.select("doc_id").distinct().count() == nested.count()
+
+    # resume again: nothing left to do
+    res3 = run_extraction_job(spark, nested, out_dir, resume=True,
+                              max_span_bytes=None)
+    assert res3["docs_out"] == 0
