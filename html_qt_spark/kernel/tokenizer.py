@@ -76,6 +76,25 @@ _SCRIPT_ESC_RX = re.compile(r"[<\-\x00]")
 
 _CRLF_RX = re.compile(r"\r\n?")
 
+# ---- fast-path tag regexes (data state only) -------------------------
+# One regex match replaces ~6-10 state-machine calls for the overwhelmingly
+# common well-formed tags.  The character classes are deliberately
+# conservative: anything they don't match (charrefs in values, NULs,
+# missing inter-attribute whitespace, exotic name chars, parse errors)
+# falls back to the exact spec state machine, so observable behavior is
+# identical — this is purely a dispatch-overhead optimization.
+_FAST_START = re.compile(
+    r"<([a-zA-Z][a-zA-Z0-9-]*)"
+    r"((?:[\t\n\f ]+[a-zA-Z_:][a-zA-Z0-9_:.-]*"
+    r"(?:[\t\n\f ]*=[\t\n\f ]*"
+    r"(?:\"[^\"&\x00]*\"|'[^'&\x00]*'|[^\t\n\f >&\"'<=`\x00]+))?)*"
+    r")[\t\n\f ]*(/?)>")
+_FAST_ATTR = re.compile(
+    r"[\t\n\f ]+([a-zA-Z_:][a-zA-Z0-9_:.-]*)"
+    r"(?:[\t\n\f ]*=[\t\n\f ]*"
+    r"(?:\"([^\"&\x00]*)\"|'([^'&\x00]*)'|([^\t\n\f >&\"'<=`\x00]+)))?")
+_FAST_END = re.compile(r"</([a-zA-Z][a-zA-Z0-9-]*)[\t\n\f ]*>")
+
 
 class HTMLTokenizer:
     """One-document tokenizer. Instantiate per document (cheap) or reuse
@@ -87,6 +106,7 @@ class HTMLTokenizer:
         "attr_value", "comment", "doctype_name", "doctype_public",
         "doctype_system", "force_quirks", "last_start_tag", "temp_buf",
         "state", "reference_compat", "cdata_ok", "collect_errors",
+        "_data_state_ref",
     )
 
     def __init__(self, html_text: str = "", *, reference_compat: bool = False,
@@ -119,7 +139,10 @@ class HTMLTokenizer:
         self.force_quirks = False
         self.last_start_tag = ""
         self.temp_buf: list[str] = []
-        self.state = self._data_state
+        # stable bound-method ref: identity checks against self._data_state
+        # would fail (a fresh bound method per attribute access)
+        self._data_state_ref = self._data_state
+        self.state = self._data_state_ref
 
     # ------------------------------------------------------------ plumbing
 
@@ -140,9 +163,11 @@ class HTMLTokenizer:
         self._charbuf.append(s)
 
     def _flush_chars(self) -> None:
-        if self._charbuf:
-            self.tokens.append(("Character", "".join(self._charbuf)))
-            self._charbuf = []
+        # clear IN PLACE: _data_state's hot loop holds a binding to this list
+        buf = self._charbuf
+        if buf:
+            self.tokens.append(("Character", "".join(buf)))
+            buf.clear()
 
     def _finish_attr(self) -> None:
         if self.attr_name:
@@ -164,7 +189,7 @@ class HTMLTokenizer:
         self._flush_chars()
         # Emitting a tag always returns to the data state unless the start
         # tag dictates an RCDATA/RAWTEXT/script/plaintext switch below.
-        self.state = self._data_state
+        self.state = self._data_state_ref
         name = self.tag_name
         if self.tag_is_end:
             # end-tag sanity errors mirror emitCurrentToken
@@ -277,29 +302,74 @@ class HTMLTokenizer:
     # --------------------------------------------------------- text states
 
     def _data_state(self) -> bool:
-        m = _DATA_RX.search(self.html, self.pos)
-        if m is None:
-            if self.pos < self.n:
-                self._chars(self.html[self.pos:])
-            self.pos = self.n
-            return False
-        if m.start() > self.pos:
-            self._chars(self.html[self.pos:m.start()])
-        self.pos = m.start() + 1
-        c = m.group()
-        if c == "<":
-            self.state = self._tag_open_state
-        elif c == "&":
-            t = self._consume_charref()
-            self._chars(t if t is not None else "&")
-        else:  # NUL
+        # Hot loop: stays inside this state across consecutive text runs
+        # and fast-path tags instead of bouncing through run()'s dispatch
+        # per special character.  Exits only on EOF or a real state change.
+        html = self.html
+        n = self.n
+        search = _DATA_RX.search
+        charbuf = self._charbuf
+        fast_end = _FAST_END.match
+        fast_start = _FAST_START.match
+        while True:
+            pos = self.pos
+            m = search(html, pos)
+            if m is None:
+                if pos < n:
+                    charbuf.append(html[pos:])
+                self.pos = n
+                return False
+            start = m.start()
+            if start > pos:
+                charbuf.append(html[pos:start])
+            self.pos = start + 1
+            c = m.group()
+            if c == "<":
+                # fast path: whole well-formed tag in one regex (see above)
+                fm = fast_end(html, start)
+                if fm:
+                    self._new_tag(is_end=True)
+                    self.tag_name = fm.group(1).lower()
+                    self.pos = fm.end()
+                    self._emit_tag()
+                    if self.state is not self._data_state_ref:
+                        return True
+                    continue
+                fm = fast_start(html, start)
+                if fm:
+                    self._new_tag(is_end=False)
+                    self.tag_name = fm.group(1).lower()
+                    blob = fm.group(2)
+                    if blob:
+                        attrs = self.attrs
+                        for am in _FAST_ATTR.finditer(blob):
+                            v = am.group(2)
+                            if v is None:
+                                v = am.group(3)
+                            if v is None:
+                                v = am.group(4)
+                            attrs.append([am.group(1).lower(),
+                                          [v] if v is not None else []])
+                    self.self_closing = fm.group(3) == "/"
+                    self.pos = fm.end()
+                    self._emit_tag()
+                    if self.state is not self._data_state_ref:
+                        return True
+                    continue
+                self.state = self._tag_open_state
+                return True
+            if c == "&":
+                t = self._consume_charref()
+                charbuf.append(t if t is not None else "&")
+                continue
+            # NUL
             self._err("invalid-codepoint")
-            self._chars("\x00")
+            charbuf.append("\x00")
             if self.reference_compat:
                 # reference bug: NUL falls through to tag-open
                 # (html-qt/htmltokenizer.cpp:125-128)
                 self.state = self._tag_open_state
-        return True
+                return True
 
     def _rcdata_state(self) -> bool:
         m = _RCDATA_RX.search(self.html, self.pos)

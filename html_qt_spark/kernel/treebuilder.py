@@ -516,16 +516,16 @@ class TreeBuilder:
             self.ignore_lf = False
             if data.startswith("\n"):
                 data = data[1:]
+        char_dispatch = self._CHAR_DISPATCH
         while data:
-            handler = getattr(self, "_char_" + self.mode)
-            consumed = handler(data)
+            consumed = char_dispatch[self.mode](self, data)
             if consumed >= len(data):
                 return
             data = data[consumed:]
 
     def _process_token(self, tok: tuple) -> None:
         self.ignore_lf = False
-        getattr(self, "_tag_" + self.mode)(tok)
+        self._TAG_DISPATCH[self.mode](self, tok)
 
     def _process_eof(self) -> None:
         # close enough for all modes: synthesize missing structure
@@ -1716,3 +1716,15 @@ def parse(html_text: str, *, reference_compat: bool = False,
                      collect_errors=collect_errors)
     tb.process(tokens)
     return tb
+
+
+# mode-name -> unbound handler dispatch tables (built once at import;
+# avoids per-token "_tag_" + mode string builds and getattr lookups)
+TreeBuilder._TAG_DISPATCH = {
+    name[len("_tag_"):]: fn
+    for name, fn in vars(TreeBuilder).items() if name.startswith("_tag_")
+}
+TreeBuilder._CHAR_DISPATCH = {
+    name[len("_char_"):]: fn
+    for name, fn in vars(TreeBuilder).items() if name.startswith("_char_")
+}
