@@ -141,7 +141,11 @@ def extract_spans_doc(df: DataFrame, *, reference_compat: bool = False,
 
 @F.pandas_udf(_FRAGMENT_SCHEMA)
 def _extract_fragment(html: pd.Series) -> pd.Series:
-    """HTML fragment → array<struct<kind,text,media_ref>> (Arrow-batched)."""
+    """HTML fragment → array<struct<kind,text,media_ref>> (Arrow-batched).
+
+    Poison-pill: a kernel exception yields one QUARANTINE_KIND entry for
+    the fragment instead of failing the task (same policy as the
+    doc-mode path)."""
     from html_qt_spark.kernel.extractor import extract_html
 
     out = []
@@ -149,10 +153,17 @@ def _extract_fragment(html: pd.Series) -> pd.Series:
         if not doc:
             out.append([])
             continue
-        out.append([
-            {"kind": k, "text": t, "media_ref": m}
-            for k, t, m in extract_html(doc)
-        ])
+        try:
+            out.append([
+                {"kind": k, "text": t, "media_ref": m}
+                for k, t, m in extract_html(doc)
+            ])
+        except Exception as exc:  # noqa: BLE001 — poison pill
+            out.append([{
+                "kind": QUARANTINE_KIND,
+                "text": f"{type(exc).__name__}:{exc}"[:512],
+                "media_ref": None,
+            }])
     return pd.Series(out)
 
 
