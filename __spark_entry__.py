@@ -118,6 +118,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .agg(F.count("*").alias("n_docs"),
                      F.sum("n_chars").cast("long").alias("sum_chars")))
 
+    def q_pricing_summary(spark, sf):
+        # TPC-H Q1 shape: scan + filter + hash agg with partial combine
+        li = spark.read.parquet(f"{sf}/lineitem.parquet")
+        return (li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+                .groupBy("l_returnflag", "l_linestatus")
+                .agg(F.floor(F.sum("l_quantity")).cast("long").alias("sum_qty"),
+                     F.floor(F.sum("l_extendedprice")).cast("long")
+                     .alias("sum_base_price"),
+                     F.floor(F.sum(F.col("l_extendedprice")
+                                   * (1 - F.col("l_discount"))))
+                     .cast("long").alias("sum_disc_price"),
+                     F.count("*").alias("count_order")))
+
+    def q_top_customers(spark, sf):
+        # join + agg + top-k (broadcast dim, TakeOrdered)
+        cust = spark.read.parquet(f"{sf}/customer.parquet")
+        orders = spark.read.parquet(f"{sf}/orders.parquet")
+        return (orders.join(F.broadcast(cust),
+                            orders.o_custkey == cust.c_custkey)
+                .groupBy("c_custkey", "c_name")
+                .agg(F.floor(F.sum("o_totalprice")).cast("long")
+                     .alias("revenue"),
+                     F.count("*").alias("n_orders"))
+                .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+                .limit(10))
+
+    def q_region_nation_rollup(spark, sf):
+        # 3-way join + rollup over the region/nation dims
+        region = spark.read.parquet(f"{sf}/region.parquet")
+        nation = spark.read.parquet(f"{sf}/nation.parquet")
+        supplier = spark.read.parquet(f"{sf}/supplier.parquet")
+        return (supplier
+                .join(F.broadcast(nation),
+                      supplier.s_nationkey == nation.n_nationkey)
+                .join(F.broadcast(region),
+                      nation.n_regionkey == region.r_regionkey)
+                .rollup("r_name", "n_name")
+                .agg(F.count("*").alias("n_suppliers"),
+                     F.floor(F.sum("s_acctbal")).cast("long")
+                     .alias("sum_acctbal")))
+
     def q_event_sessions(spark, sf):
         # gap-based sessionization (30-min inactivity): lag + running sum
         ev = spark.read.parquet(f"{sf}/events.parquet")
@@ -199,6 +240,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
         "lang_dist": q_lang_dist,
+        "pricing_summary": q_pricing_summary,
+        "top_customers": q_top_customers,
+        "region_nation_rollup": q_region_nation_rollup,
         "event_sessions": q_event_sessions,
         "event_windows": q_event_windows,
         "cosine_topk": q_cosine_topk,
@@ -297,6 +341,29 @@ def oracle_sql() -> dict[str, str]:
             "SELECT lang, count(*) AS n_docs, "
             "CAST(sum(n_chars) AS BIGINT) AS sum_chars "
             "FROM documents GROUP BY lang"),
+        "pricing_summary": (
+            "SELECT l_returnflag, l_linestatus, "
+            "CAST(floor(sum(l_quantity)) AS BIGINT) AS sum_qty, "
+            "CAST(floor(sum(l_extendedprice)) AS BIGINT) AS sum_base_price, "
+            "CAST(floor(sum(l_extendedprice * (1 - l_discount))) AS BIGINT) "
+            "AS sum_disc_price, "
+            "count(*) AS count_order "
+            "FROM lineitem WHERE l_shipdate <= '1998-09-02' "
+            "GROUP BY l_returnflag, l_linestatus"),
+        "top_customers": (
+            "SELECT c_custkey, c_name, "
+            "CAST(floor(sum(o_totalprice)) AS BIGINT) AS revenue, "
+            "count(*) AS n_orders "
+            "FROM orders JOIN customer ON o_custkey = c_custkey "
+            "GROUP BY c_custkey, c_name "
+            "ORDER BY revenue DESC, c_custkey LIMIT 10"),
+        "region_nation_rollup": (
+            "SELECT r_name, n_name, count(*) AS n_suppliers, "
+            "CAST(floor(sum(s_acctbal)) AS BIGINT) AS sum_acctbal "
+            "FROM supplier "
+            "JOIN nation ON s_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey "
+            "GROUP BY ROLLUP(r_name, n_name)"),
         "event_sessions": (
             "WITH gaps AS (SELECT user_id, ts, value, "
             "CASE WHEN epoch(ts) - epoch(lag(ts) OVER "

@@ -84,11 +84,15 @@ _CRLF_RX = re.compile(r"\r\n?")
 # falls back to the exact spec state machine, so observable behavior is
 # identical — this is purely a dispatch-overhead optimization.
 _FAST_START = re.compile(
-    r"<([a-zA-Z][a-zA-Z0-9-]*)"
-    r"((?:[\t\n\f ]+[a-zA-Z_:][a-zA-Z0-9_:.-]*"
-    r"(?:[\t\n\f ]*=[\t\n\f ]*"
-    r"(?:\"[^\"&\x00]*\"|'[^'&\x00]*'|[^\t\n\f >&\"'<=`\x00]+))?)*"
-    r")[\t\n\f ]*(/?)>")
+    # possessive quantifiers (*+): a failed match may NOT backtrack into
+    # fewer attributes — adversarial unclosed tags with thousands of
+    # attributes would otherwise cost O(n^2); on failure the state machine
+    # takes over anyway
+    r"<([a-zA-Z][a-zA-Z0-9-]*+)"
+    r"((?:[\t\n\f ]++[a-zA-Z_:][a-zA-Z0-9_:.-]*+"
+    r"(?:[\t\n\f ]*+=[\t\n\f ]*+"
+    r"(?:\"[^\"&\x00]*+\"|'[^'&\x00]*+'|[^\t\n\f >&\"'<=`\x00]++))?+)*+"
+    r")[\t\n\f ]*+(/?+)>")
 _FAST_ATTR = re.compile(
     r"[\t\n\f ]+([a-zA-Z_:][a-zA-Z0-9_:.-]*)"
     r"(?:[\t\n\f ]*=[\t\n\f ]*"
