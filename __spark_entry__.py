@@ -191,6 +191,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return similarity.cosine_topk(_emb(spark, sf), query_vec_id=0, k=10) \
             .select("vec_id", F.col("rank").cast("long").alias("rank"))
 
+    def q_regex_tokens(spark, sf):
+        return textstats.regex_token_count(_docs(spark, sf))
+
+    def q_cosine_dupes(spark, sf):
+        # exact small-N mode so the DuckDB oracle is feasible; the SRP
+        # bucketed scale path is q_cosine_dupes_lsh (rows-only)
+        return (similarity.cosine_dup_pairs(
+                    _emb(spark, sf), threshold=0.4, exact_below=300)
+                .select("vec_a", "vec_b",
+                        F.round("cos", 3).alias("cos3")))
+
+    def q_cosine_dupes_lsh(spark, sf):
+        return similarity.cosine_dup_pairs(
+            _emb(spark, sf), threshold=0.35, n_planes=4)
+
+    def q_winnowing(spark, sf):
+        return textstats.winnowing_fingerprints(_docs(spark, sf))
+
     # ----- non-SQL-expressible (rows-only checks): kernel + scale paths
     def q_extract_doc(spark, sf):
         return extract_spans_doc(interleaved_nested(spark, sf))
@@ -246,6 +264,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_sessions": q_event_sessions,
         "event_windows": q_event_windows,
         "cosine_topk": q_cosine_topk,
+        "regex_tokens": q_regex_tokens,
+        "cosine_dupes": q_cosine_dupes,
+        "cosine_dupes_lsh": q_cosine_dupes_lsh,
+        "winnowing": q_winnowing,
         "extract_doc": q_extract_doc,
         "extract_exploded": q_extract_exploded,
         "extract_compat": q_extract_compat,
@@ -380,6 +402,17 @@ def oracle_sql() -> dict[str, str]:
             "event_type, count(*) AS n_events, "
             "CAST(floor(sum(value)) AS BIGINT) AS sum_value "
             "FROM events GROUP BY 1, 2"),
+        "regex_tokens": (
+            r"SELECT doc_id, CAST(len(regexp_extract_all(text, "
+            r"'[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT) "
+            "AS n_regex_tokens FROM documents"),
+        "cosine_dupes": (
+            "WITH e AS (SELECT vec_id, embedding FROM embeddings "
+            "WHERE vec_id < 300) "
+            "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, "
+            "round(round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4), 3) AS cos3 "
+            "FROM e a, e b WHERE a.vec_id < b.vec_id "
+            "AND round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) >= 0.4"),
         "cosine_topk": (
             "WITH q AS (SELECT embedding AS q_emb FROM embeddings "
             "WHERE vec_id = 0) "

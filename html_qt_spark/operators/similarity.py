@@ -112,6 +112,42 @@ def srp_buckets(embeddings: DataFrame, *, n_planes: int = 8,
         "vec_id", F.concat(*bits).alias("bucket"))
 
 
+def cosine_dup_pairs(embeddings: DataFrame, *, threshold: float = 0.95,
+                     exact_below: int | None = None,
+                     n_planes: int = 6, dim: int = 64) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (vec_a, vec_b, cos).
+
+    Scale path: SRP-bucket self-join (candidates share all n_planes sign
+    bits — corpus/2^n_planes per bucket) then exact cosine re-check.
+    ``exact_below``: restrict to vec_id < N and skip bucketing (the exact
+    small-N mode used for oracle checks).
+    """
+    if exact_below is not None:
+        emb = embeddings.where(F.col("vec_id") < exact_below)
+        a = emb.alias("a")
+        b = emb.alias("b")
+        pairs = (a.crossJoin(b)
+                 .where(F.col("a.vec_id") < F.col("b.vec_id")))
+    else:
+        buckets = srp_buckets(embeddings, n_planes=n_planes, dim=dim)
+        be = embeddings.join(buckets, "vec_id")
+        a = be.alias("a")
+        b = be.alias("b")
+        pairs = (a.join(b, F.col("a.bucket") == F.col("b.bucket"))
+                 .where(F.col("a.vec_id") < F.col("b.vec_id")))
+    # cast float32 -> float64 BEFORE the dot product so the arithmetic
+    # matches engines that promote to double (element-wise float32
+    # multiply rounds differently and shifts the 3rd decimal)
+    ea = F.transform(F.col("a.embedding"), lambda x: x.cast("double"))
+    eb = F.transform(F.col("b.embedding"), lambda x: x.cast("double"))
+    cos = _dot(ea, eb) / (_norm(ea) * _norm(eb))
+    return (pairs.select(
+                F.col("a.vec_id").alias("vec_a"),
+                F.col("b.vec_id").alias("vec_b"),
+                F.round(cos, 4).alias("cos"))
+            .where(F.col("cos") >= threshold))
+
+
 def ann_lsh_topk(embeddings: DataFrame, query_vec_id: int = 0,
                  k: int = 10, *, n_planes: int = 6,
                  dim: int = 64) -> DataFrame:

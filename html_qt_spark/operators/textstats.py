@@ -76,6 +76,56 @@ def lang_id(docs: DataFrame) -> DataFrame:
     return scored.select("doc_id", pick.alias("lang_pred"), best.alias("lang_hits"))
 
 
+# BPE-ish subword-boundary tokenizer: word pieces, digit runs, and
+# individual punctuation — the shape GPT-style pre-tokenizers use
+# (public pattern family; deliberately simple + engine-portable).
+BPE_ISH_PATTERN = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+
+def regex_token_count(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_regex_tokens): BPE-ish pre-tokenization count, JVM-side
+    via regexp_count (no Python)."""
+    return docs.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(BPE_ISH_PATTERN))
+        .cast("long").alias("n_regex_tokens"),
+    )
+
+
+def winnowing_fingerprints(docs: DataFrame, *, k: int = 5,
+                           window: int = 4) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD 2003):
+    rolling k-gram hashes, keep the min hash of each sliding window,
+    distinct per doc.  Returns (doc_id, fp) — multiple rows per doc.
+
+    All JVM-side: token k-grams -> xxhash64 -> sliding-window min via
+    transform over the hash array.  The selected fingerprints are the
+    standard plagiarism/near-dup sketch with guaranteed match windows.
+    """
+    toks = docs.select(
+        "doc_id",
+        F.filter(F.split("text", " "), lambda t: t != "").alias("ts"),
+    )
+    grams = toks.select(
+        "doc_id",
+        F.transform(
+            F.slice("ts", 1, F.greatest(F.size("ts") - (k - 1), F.lit(0))),
+            lambda _x, i: F.xxhash64(F.concat_ws(" ", F.slice("ts", i + 1, k))),
+        ).alias("hs"),
+    )
+    # min over each sliding window of `window` hashes
+    wins = grams.select(
+        "doc_id",
+        F.transform(
+            F.slice("hs", 1, F.greatest(F.size("hs") - (window - 1),
+                                        F.lit(0))),
+            lambda _x, i: F.array_min(F.slice("hs", i + 1, window)),
+        ).alias("mins"),
+    )
+    return (wins.select("doc_id", F.explode("mins").alias("fp"))
+            .distinct())
+
+
 def fingerprint(docs: DataFrame) -> DataFrame:
     """(doc_id, fp64, fp8): content fingerprints — xxhash64 for fast
     clustering keys, md5 prefix for portable joins with external systems."""
