@@ -148,17 +148,24 @@ def extract_spans(
 
 
 def extract_html(
-    html_text: str,
+    html_text: str | bytes,
     *,
     reference_compat: bool = False,
     max_link_density: float = 0.5,
     min_words: int = 1,
 ) -> list[tuple[str, str | None, str | None]]:
-    """One-shot: HTML string -> ordered (kind, text, media_ref) spans.
+    """One-shot: HTML string OR raw bytes -> ordered (kind, text,
+    media_ref) spans.
 
+    Bytes go through WHATWG encoding sniffing (BOM + meta prescan,
+    kernel/encoding.py) — the north_star ingests "raw HTML bytes"; the
+    reference never decodes (QString in, htmltokenizer.cpp:48-54).
     This is the fused tokenize+build+extract path the Spark UDF batches
     (engine equivalent of HTMLParser::parse, html-qt/htmlparser.cpp:51-58,
     plus the span sink the reference lacks)."""
+    if isinstance(html_text, (bytes, bytearray, memoryview)):
+        from .encoding import decode_html
+        html_text = decode_html(bytes(html_text))
     tb = parse(html_text, reference_compat=reference_compat,
                collect_errors=False)
     return extract_spans(tb, max_link_density=max_link_density,

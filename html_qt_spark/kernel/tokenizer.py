@@ -204,14 +204,20 @@ class HTMLTokenizer:
                 self._err("self-closing-flag-on-end-tag")
             self.tokens.append(("EndTag", name))
         else:
-            seen: set[str] = set()
-            out: list[tuple[str, str]] = []
-            for k, vparts in self.attrs:
-                if k in seen:
-                    self._err("duplicate-attribute")
-                    continue
-                seen.add(k)
-                out.append((k, "".join(vparts)))
+            attrs = self.attrs
+            if not attrs:
+                out: list[tuple[str, str]] = []
+            elif len(attrs) == 1:
+                out = [(attrs[0][0], "".join(attrs[0][1]))]
+            else:
+                seen: set[str] = set()
+                out = []
+                for k, vparts in attrs:
+                    if k in seen:
+                        self._err("duplicate-attribute")
+                        continue
+                    seen.add(k)
+                    out.append((k, "".join(vparts)))
             self.tokens.append(("StartTag", name, out, self.self_closing))
             self.last_start_tag = name
             if not self.reference_compat:

@@ -73,6 +73,23 @@ _HEADINGS = frozenset("h1 h2 h3 h4 h5 h6".split())
 
 _TABLE_CTX = frozenset("table tbody tfoot thead tr".split())
 
+# every start/end tag name the in-body handler special-cases; anything
+# else takes the one-step ordinary-element path (hot-path shortcut)
+_IN_BODY_SPECIAL_START = (
+    frozenset("""html base basefont bgsound link meta noframes script style
+    template title body frameset pre listing form li dd dt plaintext button
+    a nobr applet marquee object table area br embed img keygen wbr input
+    param source track hr image textarea xmp iframe noembed select optgroup
+    option rb rtc rp rt caption col colgroup frame head tbody td tfoot th
+    thead tr math svg""".split())
+    | _P_CLOSERS | _HEADINGS | FORMATTING
+)
+_IN_BODY_SPECIAL_END = (
+    frozenset("""body html form p li dd dt applet marquee object br
+    template""".split())
+    | _P_CLOSERS | _HEADINGS | FORMATTING
+)
+
 MARKER = -1  # active-formatting-elements scope marker
 
 # Open-elements depth cap (browsers cap DOM depth similarly; WebKit uses
@@ -825,6 +842,12 @@ class TreeBuilder:
     def _tag_in_body(self, tok: tuple) -> None:  # noqa: C901
         kind, name = tok[0], tok[1]
         if kind == "StartTag":
+            if name not in _IN_BODY_SPECIAL_START:
+                # ordinary element (span/cite/abbr/...): skip the whole
+                # special-case chain
+                self._reconstruct_formatting()
+                self._insert_element(name, list(tok[2]))
+                return
             attrs = list(tok[2])
             if name == "html":
                 # merge attrs into root without overwrite
@@ -1059,6 +1082,9 @@ class TreeBuilder:
             return
 
         # ---- end tags in body
+        if name not in _IN_BODY_SPECIAL_END:
+            self._any_other_end_tag(name)
+            return
         if name == "body":
             if not self._in_scope("body"):
                 self._err("unexpected-end-tag")

@@ -99,6 +99,8 @@ def extract_spans_doc(df: DataFrame, *, reference_compat: bool = False,
                     for kind, html, ref, offset in zip(
                             s_kinds, s_texts, s_refs, s_offsets):
                         if kind == "media":
+                            if isinstance(html, (bytes, bytearray)):
+                                html = bytes(html).decode("utf-8", "replace")
                             emit(doc_id, idx, "media", html, ref, offset)
                             idx += 1
                             continue
@@ -201,6 +203,8 @@ def extract_spans_exploded(df_exploded: DataFrame) -> DataFrame:
                     pdf["doc_id"], pdf["offset"], pdf["kind"],
                     pdf["text"], pdf["media_ref"]):
                 if kind == "media":
+                    if isinstance(html, (bytes, bytearray)):
+                        html = bytes(html).decode("utf-8", "replace")
                     doc_ids.append(doc_id)
                     offsets.append(offset)
                     inners.append(0)

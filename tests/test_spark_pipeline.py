@@ -156,3 +156,37 @@ def test_media_decode_stub(spark):
     # deterministic: same ref → same metadata
     one = [r for r in out if r.media_ref == out[0].media_ref]
     assert all(r == one[0] for r in one)
+
+
+def test_binary_input_pipeline(spark):
+    """Raw-bytes documents (BinaryType spans.text) extract end-to-end:
+    encoding sniffed per doc inside the Arrow UDF."""
+    from pyspark.sql import types as T
+
+    from html_qt_spark.operators.extract import extract_spans_doc
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("spans", T.ArrayType(T.StructType([
+            T.StructField("kind", T.StringType()),
+            T.StructField("text", T.BinaryType()),
+            T.StructField("media_ref", T.StringType()),
+            T.StructField("offset", T.IntegerType()),
+        ]))),
+    ])
+    rows = [
+        ("d1", [("text",
+                 '<meta charset="windows-1252"><p>caf\xe9</p>'
+                 .encode("windows-1252"), None, 0),
+                ("media", None, "m://1", 1)]),
+        ("d2", [("text", "\ufeff<p>utf16 doc</p>".encode("utf-16-le"),
+                 None, 0)]),
+        ("d3", [("text", "<p>plain utf-8 \u00e9</p>".encode(), None, 0)]),
+    ]
+    df = spark.createDataFrame(rows, schema)
+    got = {(r.doc_id, r.span_idx): (r.kind, r.text, r.media_ref)
+           for r in extract_spans_doc(df).collect()}
+    assert got[("d1", 0)] == ("text", "café", None)
+    assert got[("d1", 1)] == ("media", None, "m://1")
+    assert got[("d2", 0)] == ("text", "utf16 doc", None)
+    assert got[("d3", 0)] == ("text", "plain utf-8 é", None)
