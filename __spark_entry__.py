@@ -220,6 +220,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return extract_spans_doc(interleaved_nested(spark, sf),
                                  reference_compat=True)
 
+    def q_doc_parse_stats(spark, sf):
+        from html_qt_spark.operators.extract import doc_parse_stats
+        return doc_parse_stats(interleaved_nested(spark, sf))
+
     def q_minhash_lsh_pairs(spark, sf):
         return dedup.minhash_lsh_pairs(_docs(spark, sf))
 
@@ -271,6 +275,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_doc": q_extract_doc,
         "extract_exploded": q_extract_exploded,
         "extract_compat": q_extract_compat,
+        "doc_parse_stats": q_doc_parse_stats,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,

@@ -169,6 +169,79 @@ def _extract_fragment(html: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+DOC_STATS_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.StringType()),
+    T.StructField("n_text_spans_in", T.IntegerType()),
+    T.StructField("n_media_spans_in", T.IntegerType()),
+    T.StructField("n_tokens", T.IntegerType()),
+    T.StructField("n_nodes", T.IntegerType()),
+    T.StructField("n_parse_errors", T.IntegerType()),
+    T.StructField("error_codes", T.ArrayType(T.StringType())),
+])
+
+
+def doc_parse_stats(df: DataFrame) -> DataFrame:
+    """(doc_id, spans) → per-document parse metrics.
+
+    The reference records errors as ParserErrorToken rows interleaved in
+    the token stream (html-qt/htmltokenizer.cpp:94-101); the engine
+    surfaces them as a metrics table instead (SURVEY.md §2.2): token
+    count, DOM node count, parse-error count + distinct codes per doc.
+    Narrow map, same zero-shuffle shape as extraction.
+    """
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from html_qt_spark.kernel.tokenizer import HTMLTokenizer
+        from html_qt_spark.kernel.treebuilder import TreeBuilder
+
+        for pdf in batches:
+            rows = {k: [] for k in ("doc_id", "n_text_spans_in",
+                                    "n_media_spans_in", "n_tokens",
+                                    "n_nodes", "n_parse_errors",
+                                    "error_codes")}
+            for doc_id, s_kinds, s_texts in zip(
+                    pdf["doc_id"], pdf["_kinds"], pdf["_texts"]):
+                n_text = n_media = n_tokens = n_nodes = 0
+                codes: set[str] = set()
+                n_errs = 0
+                if s_kinds is not None:
+                    for kind, html in zip(s_kinds, s_texts):
+                        if kind == "media":
+                            n_media += 1
+                            continue
+                        n_text += 1
+                        if not html:
+                            continue
+                        if isinstance(html, (bytes, bytearray)):
+                            from html_qt_spark.kernel.encoding import (
+                                decode_html)
+                            html = decode_html(bytes(html))
+                        tk = HTMLTokenizer(html)
+                        tokens, errors = tk.run()
+                        n_tokens += len(tokens)
+                        tb = TreeBuilder(collect_errors=True)
+                        tb.process(tokens)
+                        n_nodes += len(tb.tag) - 1
+                        n_errs += len(errors) + len(tb.errors)
+                        codes.update(c for c, _ in errors)
+                        codes.update(tb.errors)
+                rows["doc_id"].append(doc_id)
+                rows["n_text_spans_in"].append(n_text)
+                rows["n_media_spans_in"].append(n_media)
+                rows["n_tokens"].append(n_tokens)
+                rows["n_nodes"].append(n_nodes)
+                rows["n_parse_errors"].append(n_errs)
+                rows["error_codes"].append(sorted(codes))
+            yield pd.DataFrame(rows)
+
+    flat = df.select(
+        "doc_id",
+        F.col("spans.kind").alias("_kinds"),
+        F.col("spans.text").alias("_texts"),
+    )
+    return flat.mapInPandas(process, schema=DOC_STATS_SCHEMA)
+
+
 _EXPLODED_MID_SCHEMA = T.StructType([
     T.StructField("doc_id", T.StringType()),
     T.StructField("offset", T.IntegerType()),
