@@ -110,7 +110,7 @@ class HTMLTokenizer:
         "attr_value", "comment", "doctype_name", "doctype_public",
         "doctype_system", "force_quirks", "last_start_tag", "temp_buf",
         "state", "reference_compat", "cdata_ok", "collect_errors",
-        "_data_state_ref",
+        "_data_state_ref", "foreign_depth",
     )
 
     def __init__(self, html_text: str = "", *, reference_compat: bool = False,
@@ -118,6 +118,7 @@ class HTMLTokenizer:
         self.reference_compat = reference_compat
         self.collect_errors = collect_errors
         self.cdata_ok = False
+        self.foreign_depth = 0
         self.reset(html_text)
 
     def reset(self, html_text: str) -> None:
@@ -143,6 +144,8 @@ class HTMLTokenizer:
         self.force_quirks = False
         self.last_start_tag = ""
         self.temp_buf: list[str] = []
+        self.foreign_depth = 0
+        self.cdata_ok = False
         # stable bound-method ref: identity checks against self._data_state
         # would fail (a fresh bound method per attribute access)
         self._data_state_ref = self._data_state
@@ -202,6 +205,9 @@ class HTMLTokenizer:
                 self._err("attributes-in-end-tag")
             if self.self_closing:
                 self._err("self-closing-flag-on-end-tag")
+            if name in ("svg", "math") and self.foreign_depth > 0:
+                self.foreign_depth -= 1
+                self.cdata_ok = self.foreign_depth > 0
             self.tokens.append(("EndTag", name))
         else:
             attrs = self.attrs
@@ -220,6 +226,15 @@ class HTMLTokenizer:
                     out.append((k, "".join(vparts)))
             self.tokens.append(("StartTag", name, out, self.self_closing))
             self.last_start_tag = name
+            if name in ("svg", "math"):
+                # foreign-content depth: CDATA sections are only legal
+                # inside SVG/MathML subtrees (WHATWG 13.2.5.42 checks the
+                # adjusted current node; this tokenizer-side counter is the
+                # decoupled-pipeline approximation, exact for well-nested
+                # foreign islands)
+                if not self.self_closing:
+                    self.foreign_depth += 1
+                self.cdata_ok = self.foreign_depth > 0
             if not self.reference_compat:
                 # tree-construction-dictated state switches the reference
                 # never implemented (htmltokenizer_p.h:88)

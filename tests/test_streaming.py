@@ -46,3 +46,37 @@ def test_stream_matches_batch_and_checkpoints(spark, tmp_path):
     q2 = stream_extract(spark, in_dir, out_dir, ckpt, available_now=True)
     q2.awaitTermination(300)
     assert spark.read.parquet(out_dir).count() == want.count()
+
+
+def test_stateful_stream_dedup_across_batches(spark, tmp_path):
+    """applyInPandasWithState: first-seen-wins dedup; state survives a
+    checkpointed restart so a re-fed duplicate is NOT re-emitted."""
+    import pandas as pd
+
+    from html_qt_spark.streaming.dedup_stream import stream_dedup
+
+    in_dir = tmp_path / "in"
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    in_dir.mkdir()
+
+    # batch 1: docs A, B (B duplicated within the batch)
+    spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2, 3],
+                      "text": ["alpha", "beta", "beta"]})
+    ).write.parquet(str(in_dir / "b1"))
+    q = stream_dedup(spark, str(in_dir) + "/*", out_dir, ckpt)
+    q.awaitTermination(300)
+    out1 = {(r.fp, r.text) for r in spark.read.parquet(out_dir).collect()}
+    assert len(out1) == 2  # alpha + beta once
+
+    # batch 2 (restart from checkpoint): duplicate of beta + new gamma
+    spark.createDataFrame(
+        pd.DataFrame({"doc_id": [4, 5],
+                      "text": ["beta", "gamma"]})
+    ).write.parquet(str(in_dir / "b2"))
+    q2 = stream_dedup(spark, str(in_dir) + "/*", out_dir, ckpt)
+    q2.awaitTermination(300)
+    rows = spark.read.parquet(out_dir).collect()
+    texts = sorted(r.text for r in rows)
+    assert texts == ["alpha", "beta", "gamma"]  # beta NOT re-emitted
