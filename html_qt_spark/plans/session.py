@@ -22,8 +22,13 @@ def get_spark(app: str = "html_qt_spark", *, cpus: int | None = None,
       scale this is set to 2-3x total cores by the submitter.
     """
     cpus = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    builder = SparkSession.builder
+    # under spark-submit the master (cluster URL) comes from the submitter;
+    # only force local[N] when launched as a bare python process
+    if not os.environ.get("SPARK_ENV_LOADED"):
+        builder = builder.master(f"local[{cpus}]")
     builder = (
-        SparkSession.builder.master(f"local[{cpus}]")
+        builder
         .appName(app)
         .config("spark.sql.shuffle.partitions",
                 str(shuffle_partitions or max(cpus, 8)))
