@@ -491,6 +491,9 @@ class TreeBuilder:
             if t == "table":
                 self.mode = "in_table"
                 return
+            if t == "template":
+                self.mode = "in_template"
+                return
             if t == "head" and not last:
                 self.mode = "in_head"
                 return
@@ -720,9 +723,14 @@ class TreeBuilder:
                 self.mode = "text"
                 return
             if name == "template":
+                # simplified in_template: content stays INSIDE the
+                # template element (no separate fragment document), so the
+                # extractor's SKIP_SUBTREES drop works; spec's per-template
+                # mode stack approximated by reset-insertion-mode on close
                 self._insert_element(name, list(tok[2]))
                 self.active_formatting.append(MARKER)
                 self.frameset_ok = False
+                self.mode = "in_template"
                 return
             if name == "head":
                 self._err("two-heads-are-not-better-than-one")
@@ -737,6 +745,7 @@ class TreeBuilder:
                     self._generate_implied_end(thorough=True)
                     self._pop_until("template")
                     self._clear_formatting_to_marker()
+                    self._reset_insertion_mode()
                 return
             if name not in ("body", "html", "br"):
                 self._err("unexpected-end-tag")
@@ -1178,6 +1187,32 @@ class TreeBuilder:
             self._tag_in_head(tok)
             return
         self._any_other_end_tag(name)
+
+    # --------------------------------------------------------- in template
+
+    def _char_in_template(self, data: str) -> int:
+        return self._char_in_body(data)
+
+    def _tag_in_template(self, tok: tuple) -> None:
+        kind, name = tok[0], tok[1]
+        if name == "template":
+            if kind == "EndTag":
+                self._generate_implied_end(thorough=True)
+                if self.tag[self._current()] != "template":
+                    self._err("unexpected-end-tag-in-template")
+                self._pop_until("template")
+                self._clear_formatting_to_marker()
+                self._reset_insertion_mode()
+                return
+            # nested template: handled by the in_head branch via in_body
+        if kind == "StartTag" and name in ("head", "body", "frameset",
+                                           "html"):
+            self._err("unexpected-start-tag-in-template")
+            return
+        if kind == "EndTag" and name in ("body", "html", "frameset"):
+            self._err("unexpected-end-tag-in-template")
+            return
+        self._tag_in_body(tok)
 
     # ----------------------------------------------------------- text mode
 
