@@ -141,6 +141,9 @@ logging is the architecture this engine's run-coalescing kernel replaces.
 Engine single-thread kernel: ~4,200 docs/s on this corpus; the pinned
 local[32] pipeline reaches {tput[32]:,.0f} docs/s ({hi['extract_mb_per_sec']} MB/s) end-to-end.
 """
+    cluster = bench_dir / "CLUSTER.md"
+    if cluster.exists():
+        md += cluster.read_text()
     (bench_dir / "BASELINE.md").write_text(md)
     print(json.dumps({"efficiency_4_16": round(eff_4_16, 3),
                       "efficiency_8_32": round(eff_8_32, 3),
