@@ -224,6 +224,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from html_qt_spark.operators.extract import doc_parse_stats
         return doc_parse_stats(interleaved_nested(spark, sf))
 
+    def q_clean_corpus(spark, sf):
+        # composite training-data pipeline in ONE plan: extract ->
+        # reassemble doc text -> quality gate -> exact-dedup (first wins)
+        spans = extract_spans_doc(interleaved_nested(spark, sf))
+        doc_text = (spans.where(F.col("kind") == "text")
+                    .groupBy("doc_id")
+                    .agg(F.concat_ws(" ", F.sort_array(
+                            F.collect_list(F.struct("span_idx", "text"))
+                         ).getField("text")).alias("clean_text")))
+        scored = doc_text.select(
+            "doc_id", "clean_text",
+            F.size(F.split("clean_text", " ")).alias("n_tokens"))
+        quality = scored.where(F.col("n_tokens") >= 5)
+        w = Window.partitionBy(F.md5("clean_text")).orderBy("doc_id")
+        return (quality
+                .withColumn("_rn", F.row_number().over(w))
+                .where(F.col("_rn") == 1)
+                .select("doc_id", "n_tokens",
+                        F.substring(F.md5("clean_text"), 1, 8).alias("fp8")))
+
     def q_minhash_lsh_pairs(spark, sf):
         return dedup.minhash_lsh_pairs(_docs(spark, sf))
 
@@ -276,6 +296,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_exploded": q_extract_exploded,
         "extract_compat": q_extract_compat,
         "doc_parse_stats": q_doc_parse_stats,
+        "clean_corpus": q_clean_corpus,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
