@@ -104,6 +104,11 @@ def extract_spans(
             link_depth += 1
         if t in BLOCK_TAGS:
             block_id = nid
+            # entering ANY block element is a span boundary — without
+            # this, two text runs of the same block ancestor separated by
+            # an intervening (possibly empty) block element would merge
+            # (found by the independent recursive oracle, tests/oracle.py)
+            events.append(("flush",))
         for ch in reversed(children[nid]):
             stack.append((ch, block_id, link_depth, boiler_depth))
 
@@ -128,6 +133,10 @@ def extract_spans(
         cur_words = 0
 
     for ev in events:
+        if ev[0] == "flush":
+            flush()
+            cur_block = -1
+            continue
         if ev[0] == "text":
             _, block_id, data, in_link = ev
             if block_id != cur_block:

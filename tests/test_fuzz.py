@@ -103,3 +103,36 @@ def test_fuzz_large_document_terminates():
     html = "".join(_gen_html(rng) for _ in range(300))
     spans = extract_html(html)
     assert isinstance(spans, list)
+
+
+@pytest.mark.parametrize("seed", range(60, 90))
+def test_extractor_matches_independent_oracle(seed):
+    """Production event-stream extractor == naive recursive oracle
+    (tests/oracle.py) on generated + mutated docs."""
+    from html_qt_spark.kernel.treebuilder import parse as _parse
+    from tests.oracle import oracle_extract
+
+    rng = random.Random(99 * 1000 + seed)
+    html = _gen_html(rng)
+    if rng.random() < 0.5:
+        html = _mutate(rng, html)
+    tb = _parse(html)
+    from html_qt_spark.kernel.extractor import extract_spans
+    got = extract_spans(tb)
+    want = oracle_extract(tb)
+    assert got == want, f"html={html!r}"
+
+
+def test_extractor_matches_oracle_on_fixture_pages():
+    import json
+    from pathlib import Path
+
+    from html_qt_spark.kernel.treebuilder import parse as _parse
+    from html_qt_spark.kernel.extractor import extract_spans
+    from tests.oracle import oracle_extract
+
+    docs = json.loads((Path(__file__).parent / "fixtures" / "extract" /
+                       "pages.json").read_text())["docs"]
+    for d in docs:
+        tb = _parse(d["html"])
+        assert extract_spans(tb) == oracle_extract(tb), d["doc_id"]
