@@ -25,7 +25,9 @@ def serialize_tree(tb: TreeBuilder) -> str:
             name = tb.text[nid] or ""
             lines.append(f"{pad}<!DOCTYPE {name}>".replace(" >", ">"))
         else:
-            lines.append(f"{pad}<{t}>")
+            ns = tb.ns[nid] if nid < len(tb.ns) else "html"
+            prefix = "" if ns == "html" else f"{ns} "
+            lines.append(f"{pad}<{prefix}{t}>")
             for k, v in sorted(tb.attrs[nid] or []):
                 lines.append(f'{pad}  {k}="{v}"')
         for ch in tb.children[nid]:

@@ -235,9 +235,12 @@ class HTMLTokenizer:
                 if not self.self_closing:
                     self.foreign_depth += 1
                 self.cdata_ok = self.foreign_depth > 0
-            if not self.reference_compat:
+            if not self.reference_compat and self.foreign_depth == 0:
                 # tree-construction-dictated state switches the reference
-                # never implemented (htmltokenizer_p.h:88)
+                # never implemented (htmltokenizer_p.h:88).  Inside
+                # svg/math foreign content these elements are ordinary
+                # (svg <title>/<style> are NOT RCDATA/RAWTEXT), hence the
+                # foreign_depth gate.
                 if name in RAWTEXT_ELEMENTS:
                     self.state = self._rawtext_state
                 elif name in RCDATA_ELEMENTS:

@@ -52,7 +52,9 @@ SPECIAL = frozenset(
 )
 
 _SCOPE_DEFAULT = frozenset(
-    "applet caption html table td th marquee object template".split()
+    "applet caption html table td th marquee object template "
+    # foreign integration points are scope terminators (WHATWG 13.2.4.2)
+    "mi mo mn ms mtext annotation-xml foreignObject".split()
 )
 _SCOPE_LIST_ITEM = _SCOPE_DEFAULT | {"ol", "ul"}
 _SCOPE_BUTTON = _SCOPE_DEFAULT | {"button"}
@@ -103,6 +105,33 @@ MAX_DEPTH = 512
 
 _WS = "\t\n\f\r "
 
+# ---------------- foreign content (SVG / MathML), WHATWG 13.2.6.5 -------
+
+# HTML breakout tags: seeing one of these inside foreign content pops the
+# foreign subtree and reprocesses in HTML (prevents an unclosed <svg> from
+# swallowing the rest of the page — an extraction-quality hazard)
+_FOREIGN_BREAKOUT = frozenset(
+    """b big blockquote body br center code dd div dl dt em embed h1 h2 h3
+    h4 h5 h6 head hr i img li listing menu meta nobr ol p pre ruby s small
+    span strong strike sub sup table tt u ul var""".split()
+)
+
+# MathML text integration points: children parse as HTML
+_MATHML_TEXT_IP = frozenset("mi mo mn ms mtext".split())
+# SVG HTML integration points
+_SVG_HTML_IP = frozenset("foreignobject desc title".split())
+
+# SVG tag-name case adjustment (tokenizer lowercases; SVG is camelCase)
+_SVG_TAG_ADJUST = {
+    t.lower(): t for t in """altGlyph altGlyphDef altGlyphItem animateColor
+    animateMotion animateTransform clipPath feBlend feColorMatrix
+    feComponentTransfer feComposite feConvolveMatrix feDiffuseLighting
+    feDisplacementMap feDistantLight feDropShadow feFlood feFuncA feFuncB
+    feFuncG feFuncR feGaussianBlur feImage feMerge feMergeNode feMorphology
+    feOffset fePointLight feSpecularLighting feSpotLight feTile feTurbulence
+    foreignObject glyphRef linearGradient radialGradient textPath""".split()
+}
+
 
 class TreeBuilder:
     """Single-document tree builder; instantiate per document."""
@@ -117,6 +146,7 @@ class TreeBuilder:
         self.children: list[list[int]] = [[]]
         self.attrs: list[list[tuple[str, str]] | None] = [None]
         self.text: list[str | None] = [None]
+        self.ns: list[str] = ["html"]  # 'html' | 'svg' | 'math'
         # parser state
         self.open_elements: list[int] = []
         self.active_formatting: list[tuple[int, tuple] | int] = []
@@ -139,13 +169,15 @@ class TreeBuilder:
         if self.collect_errors:
             self.errors.append(code)
 
-    def _new_node(self, tag: str, attrs=None, text=None) -> int:
+    def _new_node(self, tag: str, attrs=None, text=None,
+                  ns: str = "html") -> int:
         nid = len(self.tag)
         self.tag.append(tag)
         self.parent.append(-1)
         self.children.append([])
         self.attrs.append(attrs)
         self.text.append(text)
+        self.ns.append(ns)
         return nid
 
     def _append(self, child: int, parent_id: int) -> None:
@@ -536,6 +568,17 @@ class TreeBuilder:
             self.ignore_lf = False
             if data.startswith("\n"):
                 data = data[1:]
+        if (self.open_elements
+                and self.ns[self.open_elements[-1]] != "html"
+                and not self._use_html_rules(("Character", data))):
+            # foreign content characters (WHATWG 13.2.6.5)
+            if "\x00" in data:
+                self._err("invalid-codepoint")
+                data = data.replace("\x00", "�")
+            self._insert_text(data)
+            if data.strip(_WS):
+                self.frameset_ok = False
+            return
         char_dispatch = self._CHAR_DISPATCH
         while data:
             consumed = char_dispatch[self.mode](self, data)
@@ -545,7 +588,87 @@ class TreeBuilder:
 
     def _process_token(self, tok: tuple) -> None:
         self.ignore_lf = False
+        if (self.open_elements
+                and self.ns[self.open_elements[-1]] != "html"
+                and not self._use_html_rules(tok)):
+            self._process_foreign_tag(tok)
+            return
         self._TAG_DISPATCH[self.mode](self, tok)
+
+    # -------------------------------------------- foreign content routing
+
+    def _is_html_ip(self, nid: int) -> bool:
+        ns = self.ns[nid]
+        name = self.tag[nid].lower()
+        if ns == "svg" and name in _SVG_HTML_IP:
+            return True
+        if ns == "math" and name == "annotation-xml":
+            enc = next((v.lower() for k, v in (self.attrs[nid] or [])
+                        if k == "encoding"), "")
+            return enc in ("text/html", "application/xhtml+xml")
+        return False
+
+    def _use_html_rules(self, tok: tuple) -> bool:
+        """Tree-construction dispatcher condition (WHATWG 13.2.6)."""
+        cur = self.open_elements[-1]
+        ns = self.ns[cur]
+        kind = tok[0]
+        if ns == "math" and self.tag[cur] in _MATHML_TEXT_IP:
+            if kind == "Character":
+                return True
+            if kind == "StartTag" and tok[1] not in ("mglyph", "malignmark"):
+                return True
+        if (ns == "math" and self.tag[cur] == "annotation-xml"
+                and kind == "StartTag" and tok[1] == "svg"):
+            return True
+        if self._is_html_ip(cur) and kind in ("Character", "StartTag"):
+            return True
+        return False
+
+    def _process_foreign_tag(self, tok: tuple) -> None:
+        kind, name = tok[0], tok[1]
+        if kind == "Comment":
+            self._insert_comment(tok[1])
+            return
+        if kind == "DOCTYPE":
+            self._err("unexpected-doctype")
+            return
+        if kind == "StartTag":
+            font_breakout = (name == "font" and any(
+                k in ("color", "face", "size") for k, _ in tok[2]))
+            if name in _FOREIGN_BREAKOUT or font_breakout:
+                # HTML breakout: pop the foreign subtree, reprocess
+                self._err("unexpected-html-element-in-foreign-content")
+                while self.open_elements:
+                    cur = self._current()
+                    if (self.ns[cur] == "html"
+                            or (self.ns[cur] == "math"
+                                and self.tag[cur] in _MATHML_TEXT_IP)
+                            or self._is_html_ip(cur)):
+                        break
+                    self.open_elements.pop()
+                self._process_token(tok)
+                return
+            cur_ns = self.ns[self._current()]
+            adj = _SVG_TAG_ADJUST.get(name, name) if cur_ns == "svg" else name
+            nid = self._insert_element(adj, list(tok[2]))
+            self.ns[nid] = cur_ns
+            if tok[3] and self.open_elements and self._current() == nid:
+                self.open_elements.pop()
+            return
+        # EndTag: case-insensitive walk down the stack; an HTML-namespace
+        # node on the way delegates back to the insertion-mode rules
+        if self.tag[self._current()].lower() != name:
+            self._err("unexpected-end-tag")
+        for idx in range(len(self.open_elements) - 1, 0, -1):
+            nid = self.open_elements[idx]
+            if self.ns[nid] == "html":
+                self._TAG_DISPATCH[self.mode](self, tok)
+                return
+            if self.tag[nid].lower() == name:
+                del self.open_elements[idx:]
+                return
+        # nothing matched: ignore
 
     def _process_eof(self) -> None:
         # close enough for all modes: synthesize missing structure
@@ -1083,11 +1206,18 @@ class TreeBuilder:
                         "tbody", "td", "tfoot", "th", "thead", "tr"):
                 self._err("unexpected-start-tag-ignored")
                 return
-            # math/svg and everything else: ordinary element
+            if name in ("math", "svg"):
+                # foreign-content root: namespace flips; subsequent tokens
+                # route through _process_foreign_tag until breakout/close
+                self._reconstruct_formatting()
+                nid = self._insert_element(name, attrs)
+                self.ns[nid] = name
+                if tok[3] and self.open_elements and self._current() == nid:
+                    self.open_elements.pop()
+                return
+            # everything else: ordinary element
             self._reconstruct_formatting()
             self._insert_element(name, attrs)
-            if tok[3] and name in ("math", "svg"):
-                self.open_elements.pop()
             return
 
         # ---- end tags in body
