@@ -121,6 +121,24 @@ _MATHML_TEXT_IP = frozenset("mi mo mn ms mtext".split())
 # SVG HTML integration points
 _SVG_HTML_IP = frozenset("foreignobject desc title".split())
 
+# SVG attribute case adjustment (WHATWG "adjust SVG attributes")
+_SVG_ATTR_ADJUST = {
+    a.lower(): a for a in """attributeName attributeType baseFrequency
+    baseProfile calcMode clipPathUnits diffuseConstant edgeMode filterUnits
+    glyphRef gradientTransform gradientUnits kernelMatrix kernelUnitLength
+    keyPoints keySplines keyTimes lengthAdjust limitingConeAngle
+    markerHeight markerUnits markerWidth maskContentUnits maskUnits
+    numOctaves pathLength patternContentUnits patternTransform patternUnits
+    pointsAtX pointsAtY pointsAtZ preserveAlpha preserveAspectRatio
+    primitiveUnits refX refY repeatCount repeatDur requiredExtensions
+    requiredFeatures specularConstant specularExponent spreadMethod
+    startOffset stdDeviation stitchTiles surfaceScale systemLanguage
+    tableValues targetX targetY textLength viewBox viewTarget
+    xChannelSelector yChannelSelector zoomAndPan""".split()
+}
+# MathML attribute adjustment
+_MATH_ATTR_ADJUST = {"definitionurl": "definitionURL"}
+
 # SVG tag-name case adjustment (tokenizer lowercases; SVG is camelCase)
 _SVG_TAG_ADJUST = {
     t.lower(): t for t in """altGlyph altGlyphDef altGlyphItem animateColor
@@ -650,8 +668,15 @@ class TreeBuilder:
                 self._process_token(tok)
                 return
             cur_ns = self.ns[self._current()]
-            adj = _SVG_TAG_ADJUST.get(name, name) if cur_ns == "svg" else name
-            nid = self._insert_element(adj, list(tok[2]))
+            if cur_ns == "svg":
+                adj = _SVG_TAG_ADJUST.get(name, name)
+                attrs = [(_SVG_ATTR_ADJUST.get(k, k), v)
+                         for k, v in tok[2]]
+            else:
+                adj = name
+                attrs = [(_MATH_ATTR_ADJUST.get(k, k), v)
+                         for k, v in tok[2]]
+            nid = self._insert_element(adj, attrs)
             self.ns[nid] = cur_ns
             if tok[3] and self.open_elements and self._current() == nid:
                 self.open_elements.pop()
@@ -1210,6 +1235,9 @@ class TreeBuilder:
                 # foreign-content root: namespace flips; subsequent tokens
                 # route through _process_foreign_tag until breakout/close
                 self._reconstruct_formatting()
+                adjust = (_SVG_ATTR_ADJUST if name == "svg"
+                          else _MATH_ATTR_ADJUST)
+                attrs = [(adjust.get(k, k), v) for k, v in attrs]
                 nid = self._insert_element(name, attrs)
                 self.ns[nid] = name
                 if tok[3] and self.open_elements and self._current() == nid:
