@@ -29,6 +29,11 @@ _META_RX = re.compile(
     re.IGNORECASE,
 )
 
+# the WHATWG prescan skips comments ("<!--" ... "-->"); a commented-out
+# legacy <meta charset=...> must not override the real declaration.  An
+# unterminated "<!--" comments out the rest of the window.
+_COMMENT_RX = re.compile(rb"<!--.*?(?:-->|$)", re.DOTALL)
+
 # label -> python codec for the common crawl encodings (WHATWG encoding
 # labels are a superset; unknown labels fall through to the default chain)
 _LABELS = {
@@ -55,7 +60,7 @@ def sniff_encoding(data: bytes) -> tuple[str, str]:
         return "utf-16-le", "bom"
     if data.startswith(codecs.BOM_UTF16_BE):
         return "utf-16-be", "bom"
-    m = _META_RX.search(data[:1024])
+    m = _META_RX.search(_COMMENT_RX.sub(b" ", data[:1024]))
     if m:
         label = m.group(1).decode("ascii", "ignore").lower()
         codec = _LABELS.get(label)

@@ -52,6 +52,22 @@ WHITESPACE = "\t\n\f "
 RCDATA_ELEMENTS = frozenset({"title", "textarea"})
 RAWTEXT_ELEMENTS = frozenset({"style", "xmp", "iframe", "noembed", "noframes"})
 
+# Foreign-content bookkeeping (WHATWG 13.2.6.5).  The tokenizer keeps a
+# lightweight mirror of the tree builder's foreign-context decisions so
+# its state switches (script-data/RAWTEXT/RCDATA) and the CDATA gate stay
+# in sync when an HTML breakout tag pops an unclosed <svg>/<math> subtree
+# or when parsing inside an HTML integration point.  Shared with
+# treebuilder.py (single source of truth for the breakout/IP sets).
+FOREIGN_BREAKOUT = frozenset(
+    """b big blockquote body br center code dd div dl dt em embed h1 h2 h3
+    h4 h5 h6 head hr i img li listing menu meta nobr ol p pre ruby s small
+    span strong strike sub sup table tt u ul var""".split()
+)
+# MathML text integration points: children parse as HTML
+MATHML_TEXT_IP = frozenset("mi mo mn ms mtext".split())
+# SVG HTML integration points (lowercase tag-name forms)
+SVG_HTML_IP = frozenset("foreignobject desc title".split())
+
 # ------------------------------------------------------ run-scan regexes
 _DATA_RX = re.compile(r"[&<\x00]")
 _RCDATA_RX = re.compile(r"[&<\x00]")
@@ -110,7 +126,7 @@ class HTMLTokenizer:
         "attr_value", "comment", "doctype_name", "doctype_public",
         "doctype_system", "force_quirks", "last_start_tag", "temp_buf",
         "state", "reference_compat", "cdata_ok", "collect_errors",
-        "_data_state_ref", "foreign_depth",
+        "_data_state_ref", "fstack",
     )
 
     def __init__(self, html_text: str = "", *, reference_compat: bool = False,
@@ -118,7 +134,7 @@ class HTMLTokenizer:
         self.reference_compat = reference_compat
         self.collect_errors = collect_errors
         self.cdata_ok = False
-        self.foreign_depth = 0
+        self.fstack: list[str] = []
         self.reset(html_text)
 
     def reset(self, html_text: str) -> None:
@@ -144,7 +160,9 @@ class HTMLTokenizer:
         self.force_quirks = False
         self.last_start_tag = ""
         self.temp_buf: list[str] = []
-        self.foreign_depth = 0
+        # foreign-context stack: "svg"/"math" for foreign roots, "i:<name>"
+        # for HTML/text integration points (see _emit_tag)
+        self.fstack = []
         self.cdata_ok = False
         # stable bound-method ref: identity checks against self._data_state
         # would fail (a fresh bound method per attribute access)
@@ -205,9 +223,16 @@ class HTMLTokenizer:
                 self._err("attributes-in-end-tag")
             if self.self_closing:
                 self._err("self-closing-flag-on-end-tag")
-            if name in ("svg", "math") and self.foreign_depth > 0:
-                self.foreign_depth -= 1
-                self.cdata_ok = self.foreign_depth > 0
+            fstack = self.fstack
+            if fstack:
+                top = fstack[-1]
+                if name in ("svg", "math"):
+                    if top == name:
+                        fstack.pop()
+                elif top == "i:" + name:
+                    # closing an integration point: back to foreign rules
+                    fstack.pop()
+                self.cdata_ok = bool(fstack) and fstack[-1] in ("svg", "math")
             self.tokens.append(("EndTag", name))
         else:
             attrs = self.attrs
@@ -226,21 +251,53 @@ class HTMLTokenizer:
                     out.append((k, "".join(vparts)))
             self.tokens.append(("StartTag", name, out, self.self_closing))
             self.last_start_tag = name
-            if name in ("svg", "math"):
-                # foreign-content depth: CDATA sections are only legal
-                # inside SVG/MathML subtrees (WHATWG 13.2.5.42 checks the
-                # adjusted current node; this tokenizer-side counter is the
-                # decoupled-pipeline approximation, exact for well-nested
-                # foreign islands)
-                if not self.self_closing:
-                    self.foreign_depth += 1
-                self.cdata_ok = self.foreign_depth > 0
-            if not self.reference_compat and self.foreign_depth == 0:
+            # ---- foreign-content context mirror (WHATWG 13.2.6.5) ----
+            # CDATA sections are only legal while the adjusted current
+            # node is foreign; tree-dictated tokenizer switches (script/
+            # RAWTEXT/RCDATA/plaintext) only apply under HTML rules —
+            # i.e. outside foreign content OR inside an integration
+            # point.  This stack mirrors the tree builder's breakout and
+            # integration-point transitions so <script> after an HTML
+            # breakout (e.g. "<svg><div>…<script>") tokenizes as script
+            # data instead of leaking JS into extracted text.
+            fstack = self.fstack
+            # HTML rules applied to THIS tag when the stack top (before any
+            # push below) is not a foreign root — i.e. plain HTML or inside
+            # an integration point.
+            foreign_rules = bool(fstack) and fstack[-1] in ("svg", "math")
+            if foreign_rules:
+                if name in FOREIGN_BREAKOUT or (
+                        name == "font" and any(
+                            k in ("color", "face", "size") for k, _ in out)):
+                    # HTML breakout: the tree builder pops the foreign
+                    # subtree down to an integration point / HTML node
+                    while fstack and fstack[-1] in ("svg", "math"):
+                        fstack.pop()
+                elif not self.self_closing:
+                    ftop = fstack[-1]
+                    if ftop == "svg" and name in SVG_HTML_IP:
+                        fstack.append("i:" + name)
+                    elif ftop == "math" and name in MATHML_TEXT_IP:
+                        fstack.append("i:" + name)
+                    elif (ftop == "math" and name == "annotation-xml"
+                          and any(k == "encoding"
+                                  and v.lower() in ("text/html",
+                                                    "application/xhtml+xml")
+                                  for k, v in out)):
+                        fstack.append("i:" + name)
+                    elif name in ("svg", "math"):
+                        fstack.append(name)
+                self.cdata_ok = bool(fstack) and fstack[-1] in ("svg", "math")
+            elif name in ("svg", "math") and not self.self_closing:
+                # entering foreign content (from HTML or an integration pt)
+                fstack.append(name)
+                self.cdata_ok = True
+            if not self.reference_compat and not foreign_rules:
                 # tree-construction-dictated state switches the reference
                 # never implemented (htmltokenizer_p.h:88).  Inside
                 # svg/math foreign content these elements are ordinary
-                # (svg <title>/<style> are NOT RCDATA/RAWTEXT), hence the
-                # foreign_depth gate.
+                # (svg <title>/<style> are NOT RCDATA/RAWTEXT); inside an
+                # HTML/text integration point they switch again.
                 if name in RAWTEXT_ELEMENTS:
                     self.state = self._rawtext_state
                 elif name in RCDATA_ELEMENTS:

@@ -26,7 +26,14 @@ Node sentinel tags: ``#document``, ``#text``, ``#comment``, ``#doctype``.
 
 from __future__ import annotations
 
-from .tokenizer import HTMLTokenizer
+import re
+
+from .tokenizer import (
+    FOREIGN_BREAKOUT as _FOREIGN_BREAKOUT,
+    MATHML_TEXT_IP as _MATHML_TEXT_IP,
+    SVG_HTML_IP as _SVG_HTML_IP,
+    HTMLTokenizer,
+)
 
 # -------------------------------------------------------------- categories
 
@@ -104,22 +111,16 @@ MARKER = -1  # active-formatting-elements scope marker
 MAX_DEPTH = 512
 
 _WS = "\t\n\f\r "
+_WS_PREFIX_RX = re.compile(r"[\t\n\f\r ]+")
+_NON_WS_PREFIX_RX = re.compile(r"[^\t\n\f\r ]+")
 
 # ---------------- foreign content (SVG / MathML), WHATWG 13.2.6.5 -------
 
-# HTML breakout tags: seeing one of these inside foreign content pops the
+# HTML breakout tags / integration points are shared with the tokenizer
+# (imported above): seeing a breakout tag inside foreign content pops the
 # foreign subtree and reprocesses in HTML (prevents an unclosed <svg> from
-# swallowing the rest of the page — an extraction-quality hazard)
-_FOREIGN_BREAKOUT = frozenset(
-    """b big blockquote body br center code dd div dl dt em embed h1 h2 h3
-    h4 h5 h6 head hr i img li listing menu meta nobr ol p pre ruby s small
-    span strong strike sub sup table tt u ul var""".split()
-)
-
-# MathML text integration points: children parse as HTML
-_MATHML_TEXT_IP = frozenset("mi mo mn ms mtext".split())
-# SVG HTML integration points
-_SVG_HTML_IP = frozenset("foreignobject desc title".split())
+# swallowing the rest of the page — an extraction-quality hazard), and the
+# tokenizer mirrors the same transitions for its state-switch gate.
 
 # SVG attribute case adjustment (WHATWG "adjust SVG attributes")
 _SVG_ATTR_ADJUST = {
@@ -697,6 +698,22 @@ class TreeBuilder:
 
     def _process_eof(self) -> None:
         # close enough for all modes: synthesize missing structure
+        if self.mode == "text":
+            # EOF inside unterminated RCDATA/RAWTEXT/script content
+            # (WHATWG 13.2.6.4.8 "in text" EOF rule): pop the open
+            # element and restore the original insertion mode so the
+            # normalization chain below still synthesizes head/body.
+            self._err("expected-named-closing-tag-but-got-eof")
+            self.open_elements.pop()
+            self.mode = self.original_mode
+        if self.mode == "in_template":
+            # contained-template EOF (spec: pop to template, clear
+            # formatting to marker, reset insertion mode, reprocess EOF)
+            if any(self.tag[nid] == "template" for nid in self.open_elements):
+                self._err("eof-in-template")
+                self._pop_until("template")
+                self._clear_formatting_to_marker()
+                self._reset_insertion_mode()
         if self.mode == "initial":
             self.quirks_mode = "quirks"
             self._mode_initial_anything()
@@ -1845,8 +1862,11 @@ class TreeBuilder:
         if ws:
             self._insert_text(data[:ws])
             return ws
+        # consume the whole non-whitespace run in one step (each char is
+        # individually ignored per spec; one error suffices) — returning
+        # 1 per char made _process_chars re-slice O(n^2) on large docs
         self._err("unexpected-char-in-frameset")
-        return 1
+        return _non_ws_prefix(data)
 
     def _tag_in_frameset(self, tok: tuple) -> None:
         kind, name = tok[0], tok[1]
@@ -1877,7 +1897,7 @@ class TreeBuilder:
             self._insert_text(data[:ws])
             return ws
         self._err("unexpected-char-after-frameset")
-        return 1
+        return _non_ws_prefix(data)
 
     def _tag_after_frameset(self, tok: tuple) -> None:
         kind, name = tok[0], tok[1]
@@ -1898,7 +1918,7 @@ class TreeBuilder:
             self._insert_text(data[:ws])
             return ws
         self._err("expected-eof")
-        return 1
+        return _non_ws_prefix(data)
 
     def _tag_after_after_frameset(self, tok: tuple) -> None:
         if tok[0] == "StartTag" and tok[1] in ("html", "noframes"):
@@ -1911,11 +1931,13 @@ class TreeBuilder:
 
 
 def _ws_prefix(data: str) -> int:
-    i = 0
-    n = len(data)
-    while i < n and data[i] in _WS:
-        i += 1
-    return i
+    m = _WS_PREFIX_RX.match(data)
+    return m.end() if m else 0
+
+
+def _non_ws_prefix(data: str) -> int:
+    m = _NON_WS_PREFIX_RX.match(data)
+    return m.end() if m else 0
 
 
 def parse(html_text: str, *, reference_compat: bool = False,
