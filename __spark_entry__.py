@@ -207,7 +207,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _emb(spark, sf), threshold=0.35, n_planes=4)
 
     def q_winnowing(spark, sf):
-        return textstats.winnowing_fingerprints(_docs(spark, sf))
+        # md5_32 hash family = exact DuckDB oracle; same plan shape as the
+        # xxhash64 production default
+        return textstats.winnowing_fingerprints(_docs(spark, sf),
+                                                hash_fn="md5_32")
 
     # ----- non-SQL-expressible (rows-only checks): kernel + scale paths
     def q_extract_doc(spark, sf):
@@ -248,19 +251,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return dedup.minhash_lsh_pairs(_docs(spark, sf))
 
     def q_simhash(spark, sf):
-        return dedup.simhash(_docs(spark, sf))
+        # 32-bit md5_32 family = exact DuckDB oracle; the 64-bit xxhash64
+        # default is the production path (identical plan shape)
+        return dedup.simhash(_docs(spark, sf), bits=32, hash_fn="md5_32")
 
     def q_ngram_jaccard(spark, sf):
-        return dedup.ngram_jaccard_pairs(_docs(spark, sf), n=3,
-                                         min_jaccard=0.2)
+        return (dedup.ngram_jaccard_pairs(_docs(spark, sf), n=3,
+                                          min_jaccard=0.2)
+                .select("doc_a", "doc_b",
+                        F.round("jaccard", 3).alias("j3")))
 
     def q_ann_lsh_topk(spark, sf):
         return similarity.ann_lsh_topk(_emb(spark, sf), query_vec_id=0, k=10)
 
     def q_media_decode(spark, sf):
+        # feature:array<float> is quantized back to its byte form and
+        # '|'-joined so the result is all-scalar (hash-comparable); the
+        # oracle recomputes every column from media_ref alone in SQL.
         media = (interleaved_exploded(spark, sf)
                  .where(F.col("kind") == "media"))
-        return multimodal.decode_media(media)
+        return (multimodal.decode_media(media)
+                .select("media_ref", "modality", "width", "height",
+                        "duration_ms",
+                        F.concat_ws("|", F.transform(
+                            "feature",
+                            lambda x: F.round(x * 255).cast("int")
+                        )).alias("feature_q")))
 
     def q_frame_sample(spark, sf):
         media = (interleaved_exploded(spark, sf)
@@ -307,6 +323,123 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 # ---------------------------------------------------------- oracle SQL
+
+_FIXTURES = "/root/repo/tests/fixtures"
+
+# minhash LSH oracle: same md5 family as the minhash_signatures oracle,
+# extended to 16 signatures, banded 4x4, hot-bucket cap mirrored in SQL
+_LSH_SIGS = ", ".join(
+    f"min(md5('{j}:' || shingle)) AS sig_{j}" for j in range(16))
+_LSH_BANDS = " UNION ALL ".join(
+    "SELECT doc_id, {b} AS band, md5({expr}) AS bucket FROM sig".format(
+        b=b,
+        expr=" || '|' || ".join(f"sig_{b * 4 + r}" for r in range(4)))
+    for b in range(4))
+_LSH_ORACLE = (
+    "WITH ts AS (SELECT doc_id, list_filter(string_split(text, ' '), "
+    "x -> x <> '') AS toks FROM documents), "
+    "pos AS (SELECT doc_id, toks, "
+    "unnest(range(1, greatest(len(toks) - 2, 0) + 1)) AS i FROM ts), "
+    "sh AS (SELECT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle "
+    "FROM pos), "
+    f"sig AS (SELECT doc_id, {_LSH_SIGS} FROM sh GROUP BY doc_id), "
+    f"buckets AS ({_LSH_BANDS}), "
+    "ok AS (SELECT band, bucket FROM buckets GROUP BY band, bucket "
+    "HAVING count(*) BETWEEN 2 AND 1000), "
+    "capped AS (SELECT b.* FROM buckets b JOIN ok USING (band, bucket)) "
+    "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
+    "FROM capped a JOIN capped b USING (band, bucket) "
+    "WHERE a.doc_id < b.doc_id")
+
+# media_decode oracle: recompute the deterministic decode entirely in SQL
+# from media_ref (the 31-bit polynomial hash h = fold(h*131 + ord(c)))
+_MEDIA_H = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(range(1, length(media_ref)+1), "
+    "i -> CAST(ord(substr(media_ref, CAST(i AS INT), 1)) AS BIGINT))), "
+    "(acc, x) -> (acc * 131 + x) % 2147483648)")
+_MEDIA_FEATURE = " || '|' || ".join(
+    f"CAST((h >> {i}) % 256 AS STRING)" for i in range(8))
+# continues the oracle_cte() WITH-chain (leading comma)
+_MEDIA_M_CTE = (
+    ", m AS (SELECT media_ref, "
+    "CASE WHEN media_ref LIKE 'img://%' THEN 'image' "
+    "WHEN media_ref LIKE 'vid://%' THEN 'video' "
+    "WHEN media_ref LIKE 'aud://%' THEN 'audio' ELSE 'unknown' END "
+    "AS modality, "
+    f"{_MEDIA_H} AS h "
+    "FROM interleaved_spans WHERE kind = 'media') ")
+_MEDIA_ORACLE_BODY = (
+    _MEDIA_M_CTE
+    + "SELECT media_ref, modality, "
+    "CAST(160 + h % 1920 AS INT) AS width, "
+    "CAST(90 + (h >> 8) % 1080 AS INT) AS height, "
+    "CAST(CASE WHEN modality = 'image' THEN 0 "
+    "ELSE 1000 + (h >> 16) % 600000 END AS INT) AS duration_ms, "
+    f"{_MEDIA_FEATURE} AS feature_q "
+    "FROM m")
+_FRAME_ORACLE_BODY = (
+    _MEDIA_M_CTE
+    + ", d AS (SELECT media_ref, "
+    "CAST(1000 + (h >> 16) % 600000 AS INT) AS duration_ms "
+    "FROM m WHERE modality = 'video') "
+    "SELECT media_ref, CAST(unnest(range(0, duration_ms + 1, 60000)) "
+    "AS INT) AS frame_ts_ms FROM d")
+
+# portable 32-bit md5-prefix token hash (matches Spark's
+# conv(substring(md5(x),1,8),16,10) exactly)
+def _md5_32(expr: str) -> str:
+    return f"('0x' || substr(md5({expr}), 1, 8))::BIGINT"
+
+
+_SIMHASH_BITSUMS = ", ".join(
+    f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+    for i in range(32))
+_SIMHASH_FOLD = " + ".join(
+    f"CASE WHEN b{i} > 0 THEN (1::BIGINT << {i}) ELSE 0 END"
+    for i in range(32))
+_SIMHASH_ORACLE = (
+    "WITH toks AS (SELECT doc_id, "
+    "unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok "
+    "FROM documents), "
+    f"h AS (SELECT doc_id, {_md5_32('tok')} AS h FROM toks), "
+    f"bs AS (SELECT doc_id, {_SIMHASH_BITSUMS} FROM h GROUP BY doc_id) "
+    f"SELECT doc_id, CAST({_SIMHASH_FOLD} AS BIGINT) AS simhash FROM bs")
+
+_WINNOWING_ORACLE = (
+    "WITH ts AS (SELECT doc_id, list_filter(string_split(text, ' '), "
+    "x -> x <> '') AS toks FROM documents), "
+    "g AS (SELECT doc_id, "
+    "list_transform(range(1, greatest(len(toks) - 4, 0) + 1), "
+    "i -> " + _md5_32("array_to_string(toks[i:i+4], ' ')")
+    + ") AS hs FROM ts), "
+    "w AS (SELECT doc_id, "
+    "list_transform(range(1, greatest(len(hs) - 3, 0) + 1), "
+    "i -> list_min(hs[i:i+3])) AS mins FROM g) "
+    "SELECT DISTINCT doc_id, fp FROM "
+    "(SELECT doc_id, unnest(mins) AS fp FROM w)")
+
+_NGRAM_JACCARD_ORACLE = (
+    "WITH ts AS (SELECT doc_id, list_filter(string_split(text, ' '), "
+    "x -> x <> '') AS toks FROM documents), "
+    "pos AS (SELECT doc_id, toks, "
+    "unnest(range(1, greatest(len(toks) - 2, 0) + 1)) AS i FROM ts), "
+    "sh AS (SELECT DISTINCT doc_id, "
+    "array_to_string(toks[i:i+2], ' ') AS shingle FROM pos), "
+    "sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id), "
+    "freq AS (SELECT shingle FROM sh GROUP BY shingle "
+    "HAVING count(*) BETWEEN 2 AND 1000), "
+    "pruned AS (SELECT sh.* FROM sh JOIN freq USING (shingle)), "
+    "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+    "count(*) AS n_common FROM pruned a JOIN pruned b USING (shingle) "
+    "WHERE a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id) "
+    "SELECT doc_a, doc_b, round(n_common / "
+    "(sa.sz + sb.sz - n_common), 3) AS j3 "
+    "FROM inter "
+    "JOIN sizes sa ON doc_a = sa.doc_id "
+    "JOIN sizes sb ON doc_b = sb.doc_id "
+    "WHERE n_common / (sa.sz + sb.sz - n_common) >= 0.2")
+
 
 def oracle_sql() -> dict[str, str]:
     return {
@@ -448,6 +581,53 @@ def oracle_sql() -> dict[str, str]:
             "FROM embeddings e, q WHERE vec_id <> 0 "
             "ORDER BY list_cosine_similarity(e.embedding, q.q_emb) DESC, "
             "vec_id LIMIT 10"),
+        # ---- flagship extraction: golden spans materialized from the
+        # independent recursive extractor (tests/oracle.py) over the exact
+        # sf0.01 synthesis — see tools/make_golden_spans.py
+        "extract_doc": (
+            'SELECT doc_id, span_idx, kind, text, media_ref, "offset" '
+            f"FROM read_parquet('{_FIXTURES}/golden_spans_sf001.parquet')"),
+        "extract_exploded": (
+            'SELECT doc_id, span_idx, kind, text, media_ref, "offset" '
+            f"FROM read_parquet('{_FIXTURES}/golden_spans_sf001.parquet')"),
+        "extract_compat": (
+            'SELECT doc_id, span_idx, kind, text, media_ref, "offset" '
+            "FROM read_parquet("
+            f"'{_FIXTURES}/golden_spans_compat_sf001.parquet')"),
+        # span-count columns recomputed independently in SQL; kernel
+        # token/node/error counts pinned by the out-of-Spark golden
+        "doc_parse_stats": oracle_cte(
+            "SELECT c.doc_id, c.n_text_spans_in, c.n_media_spans_in, "
+            "g.n_tokens, g.n_nodes, g.n_parse_errors, g.error_codes "
+            "FROM (SELECT doc_id, "
+            "CAST(sum(CASE WHEN kind='text' THEN 1 ELSE 0 END) AS INT) "
+            "AS n_text_spans_in, "
+            "CAST(sum(CASE WHEN kind='media' THEN 1 ELSE 0 END) AS INT) "
+            "AS n_media_spans_in "
+            "FROM interleaved_spans GROUP BY doc_id) c "
+            f"JOIN read_parquet('{_FIXTURES}/golden_parse_stats_sf001"
+            ".parquet') g USING (doc_id)"),
+        "minhash_lsh_pairs": _LSH_ORACLE,
+        "media_decode": oracle_cte(_MEDIA_ORACLE_BODY),
+        "frame_sample": oracle_cte(_FRAME_ORACLE_BODY),
+        "simhash": _SIMHASH_ORACLE,
+        "winnowing": _WINNOWING_ORACLE,
+        "ngram_jaccard": _NGRAM_JACCARD_ORACLE,
+        # clean_corpus = SQL pipeline over the golden extraction spans
+        "clean_corpus": (
+            "WITH spans AS (SELECT * FROM read_parquet("
+            f"'{_FIXTURES}/golden_spans_sf001.parquet')), "
+            "doc_text AS (SELECT doc_id, "
+            "string_agg(text, ' ' ORDER BY span_idx) AS clean_text "
+            "FROM spans WHERE kind = 'text' GROUP BY doc_id), "
+            "scored AS (SELECT doc_id, clean_text, "
+            "CAST(len(string_split(clean_text, ' ')) AS INT) AS n_tokens "
+            "FROM doc_text), "
+            "ranked AS (SELECT doc_id, n_tokens, "
+            "substr(md5(clean_text), 1, 8) AS fp8, "
+            "row_number() OVER (PARTITION BY md5(clean_text) "
+            "ORDER BY doc_id) AS rn FROM scored WHERE n_tokens >= 5) "
+            "SELECT doc_id, n_tokens, fp8 FROM ranked WHERE rn = 1"),
     }
 
 

@@ -80,12 +80,22 @@ def minhash_signatures(docs: DataFrame, *, num_hashes: int = 8,
 
 
 def minhash_lsh_pairs(docs: DataFrame, *, num_hashes: int = 16,
-                      bands: int = 4) -> DataFrame:
+                      bands: int = 4,
+                      max_docs_per_bucket: int = 1000) -> DataFrame:
     """Candidate near-duplicate pairs via banded LSH.
 
     Signature split into ``bands`` bands of ``num_hashes/bands`` rows;
     docs sharing any band-hash are candidates.  Self-join happens on the
     band bucket (small, high-selectivity keys) — never on the full corpus.
+
+    Hot-bucket cap: a degenerate band value (e.g. millions of boilerplate
+    or near-empty docs sharing one bucket) makes the self-join quadratic
+    in that bucket, so buckets holding more than ``max_docs_per_bucket``
+    docs are dropped before the join (same prune as
+    :func:`ngram_jaccard_pairs`'s ``max_pairs_per_shingle``).  Members of
+    a dropped bucket are near-identical en masse; exact_dedup (or a
+    follow-up pass on the dropped buckets alone) handles them at linear
+    cost.  Singleton buckets are pruned in the same pass.
     Returns (doc_a, doc_b) with doc_a < doc_b, distinct.
     """
     sig = minhash_signatures(docs, num_hashes=num_hashes)
@@ -100,8 +110,15 @@ def minhash_lsh_pairs(docs: DataFrame, *, num_hashes: int = 16,
     buckets = sig.select(
         "doc_id", F.explode(F.array(*band_cols)).alias("bb")
     ).select("doc_id", "bb.band", "bb.bucket")
-    a = buckets.alias("a")
-    b = buckets.alias("b")
+    bucket_ok = (
+        buckets.groupBy("band", "bucket")
+        .agg(F.count("*").alias("_n"))
+        .where(F.col("_n").between(2, max_docs_per_bucket))
+        .select("band", "bucket")
+    )
+    capped = buckets.join(bucket_ok, ["band", "bucket"])
+    a = capped.alias("a")
+    b = capped.alias("b")
     return (
         a.join(b, ["band", "bucket"])
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
@@ -111,15 +128,25 @@ def minhash_lsh_pairs(docs: DataFrame, *, num_hashes: int = 16,
     )
 
 
-def simhash(docs: DataFrame, *, bits: int = 64) -> DataFrame:
-    """64-bit SimHash fingerprint, fully JVM-side (xxhash64 + bit ops).
+def simhash(docs: DataFrame, *, bits: int = 64,
+            hash_fn: str = "xxhash64") -> DataFrame:
+    """SimHash fingerprint, fully JVM-side (token hash + bit ops).
 
     Classic Charikar sketch: sum ±1 per bit over token hashes, sign →
     fingerprint bit.  Everything stays in whole-stage codegen: explode,
     bitwise ops, groupBy — no Python worker round-trip.
     Returns (doc_id, simhash:long).
+
+    ``hash_fn``: "xxhash64" (default, 64 usable bits) or "md5_32" — a
+    32-bit md5-prefix hash reproducible in any SQL engine (pass bits<=32
+    with it; used for the exact DuckDB oracle).
     """
-    toks = _tokens(docs).withColumn("h", F.xxhash64("tok"))
+    if hash_fn == "md5_32":
+        tok_hash = F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10) \
+            .cast("long")
+    else:
+        tok_hash = F.xxhash64("tok")
+    toks = _tokens(docs).withColumn("h", tok_hash)
     per_bit = [
         F.sum(
             F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1,
@@ -166,10 +193,14 @@ def ngram_jaccard_pairs(docs: DataFrame, *, n: int = 3,
                  F.col("b.doc_id").alias("doc_b"))
         .agg(F.count("*").alias("n_common"))
     )
+    # NOTE: `sizes` has one row per document — corpus-sized, so it must
+    # NOT be broadcast (a forced broadcast here is a driver/executor OOM
+    # at 10^12 docs).  Plain joins let AQE pick broadcast only when the
+    # post-prune side genuinely fits.
     return (
-        inter.join(F.broadcast(sizes).alias("sa"),
+        inter.join(sizes.alias("sa"),
                    F.col("doc_a") == F.col("sa.doc_id"))
-        .join(F.broadcast(sizes).alias("sb"),
+        .join(sizes.alias("sb"),
               F.col("doc_b") == F.col("sb.doc_id"))
         .select(
             "doc_a", "doc_b",

@@ -176,7 +176,10 @@ DOC_STATS_SCHEMA = T.StructType([
     T.StructField("n_tokens", T.IntegerType()),
     T.StructField("n_nodes", T.IntegerType()),
     T.StructField("n_parse_errors", T.IntegerType()),
-    T.StructField("error_codes", T.ArrayType(T.StringType())),
+    # '|'-joined sorted distinct codes: a metrics table carries scalar
+    # columns so downstream sort/compare/export tooling never chokes on
+    # list cells (array<string> broke the correctness harness in r1)
+    T.StructField("error_codes", T.StringType()),
 ])
 
 
@@ -231,7 +234,7 @@ def doc_parse_stats(df: DataFrame) -> DataFrame:
                 rows["n_tokens"].append(n_tokens)
                 rows["n_nodes"].append(n_nodes)
                 rows["n_parse_errors"].append(n_errs)
-                rows["error_codes"].append(sorted(codes))
+                rows["error_codes"].append("|".join(sorted(codes)))
             yield pd.DataFrame(rows)
 
     flat = df.select(

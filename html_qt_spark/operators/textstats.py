@@ -93,15 +93,25 @@ def regex_token_count(docs: DataFrame) -> DataFrame:
 
 
 def winnowing_fingerprints(docs: DataFrame, *, k: int = 5,
-                           window: int = 4) -> DataFrame:
+                           window: int = 4,
+                           hash_fn: str = "xxhash64") -> DataFrame:
     """Winnowing document fingerprints (Schleimer et al., SIGMOD 2003):
     rolling k-gram hashes, keep the min hash of each sliding window,
     distinct per doc.  Returns (doc_id, fp) — multiple rows per doc.
 
-    All JVM-side: token k-grams -> xxhash64 -> sliding-window min via
+    All JVM-side: token k-grams -> hash -> sliding-window min via
     transform over the hash array.  The selected fingerprints are the
     standard plagiarism/near-dup sketch with guaranteed match windows.
+
+    ``hash_fn``: "xxhash64" (default, fastest) or "md5_32" — a 32-bit
+    md5-prefix hash reproducible in any SQL engine (used for the exact
+    DuckDB oracle; winnowing only needs *a* hash with a total order).
     """
+    if hash_fn == "md5_32":
+        def gram_hash(s):
+            return F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+    else:
+        gram_hash = F.xxhash64
     toks = docs.select(
         "doc_id",
         F.filter(F.split("text", " "), lambda t: t != "").alias("ts"),
@@ -110,7 +120,7 @@ def winnowing_fingerprints(docs: DataFrame, *, k: int = 5,
         "doc_id",
         F.transform(
             F.slice("ts", 1, F.greatest(F.size("ts") - (k - 1), F.lit(0))),
-            lambda _x, i: F.xxhash64(F.concat_ws(" ", F.slice("ts", i + 1, k))),
+            lambda _x, i: gram_hash(F.concat_ws(" ", F.slice("ts", i + 1, k))),
         ).alias("hs"),
     )
     # min over each sliding window of `window` hashes
