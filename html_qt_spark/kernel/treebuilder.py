@@ -140,6 +140,19 @@ _SVG_ATTR_ADJUST = {
 # MathML attribute adjustment
 _MATH_ATTR_ADJUST = {"definitionurl": "definitionURL"}
 
+# "Adjust foreign attributes" (WHATWG 13.2.6.1): namespaced attributes on
+# foreign elements.  Stored as "<ns-prefix> <local>" — the html5lib .dat
+# serialization form — since the columnar attrs table has no namespace
+# column.  Applies to BOTH svg and math elements.
+_FOREIGN_ATTR_ADJUST = {
+    "xlink:actuate": "xlink actuate", "xlink:arcrole": "xlink arcrole",
+    "xlink:href": "xlink href", "xlink:role": "xlink role",
+    "xlink:show": "xlink show", "xlink:title": "xlink title",
+    "xlink:type": "xlink type",
+    "xml:lang": "xml lang", "xml:space": "xml space",
+    "xmlns": "xmlns xmlns", "xmlns:xlink": "xmlns xlink",
+}
+
 # SVG tag-name case adjustment (tokenizer lowercases; SVG is camelCase)
 _SVG_TAG_ADJUST = {
     t.lower(): t for t in """altGlyph altGlyphDef altGlyphItem animateColor
@@ -564,6 +577,9 @@ class TreeBuilder:
     # --------------------------------------------------------- main drive
 
     def process(self, tokens: list[tuple]) -> None:
+        if self.reference_compat:
+            self._process_compat(tokens)
+            return
         for tok in tokens:
             kind = tok[0]
             if kind == "Character":
@@ -580,6 +596,84 @@ class TreeBuilder:
             elif kind == "DOCTYPE":
                 self._mode_doctype(tok)
         self._process_eof()
+
+    def _process_compat(self, tokens: list[tuple]) -> None:
+        """Reference-shaped tree construction (reference_compat=True).
+
+        Faithful reproduction of the reference parser's RUNTIME phase
+        behavior — only Initial and BeforeHTML are implemented there; the
+        other 21 modes are accept-and-ignore HTMLAbstractPhase instances
+        (html-qt/htmlparser.cpp:19-41, htmlabstractphase.cpp:59-92):
+
+        * characters reach phases one at a time via
+          HTMLParser::characterToken → processCharacter
+          (htmltokenizer.cpp:91, htmlparser.cpp:66-70); the
+          SpaceCharacters→processStartTag routing in parseToken
+          (htmlparser.cpp:86-88) is dead code — the tokenizer never
+          constructs Space/CharactersToken objects (htmltokenizer.cpp:88)
+          — and processStartTag ignores its token anyway, so whitespace
+          is dropped identically either way.
+        * Initial: only a DOCTYPE transitions (→ BeforeHTML,
+          htmlinitialphase.cpp:41-66); start/end tags are logged and
+          ignored (:22-31); a character would call
+          openElements().last() on an EMPTY vector
+          (htmltree.cpp:38-47) — undefined behavior/crash in the
+          reference; the engine records the error and drops instead
+          (a 10^12-doc job must not die on one doc).
+        * BeforeHTML: first character or start tag inserts a bare
+          <html> (token attributes DROPPED — insertHtmlElement builds
+          a fresh token, htmlbeforehtmlphase.cpp:12-17) and the
+          triggering character itself is consumed without insertion
+          (:25-29); mode → BeforeHead and never changes again.
+        * All later modes: every character appends to the <html> node's
+          own text buffer (HTMLTreeNode::insertText,
+          htmltree.cpp:115-119 — modeled as one #text child); tags and
+          doctypes are ignored; comments hit the empty
+          HTMLTree::insertComment (htmltree.cpp:62-65) — dropped.
+        * EOF: BeforeHTML synthesizes <html>
+          (htmlbeforehtmlphase.cpp:19-23); other phases do nothing.
+        """
+        mode = "initial"
+        html_id = -1
+        buf: list[str] = []
+        for tok in tokens:
+            kind = tok[0]
+            if kind == "Character":
+                data = tok[1]
+                if mode == "initial":
+                    self._err("compat-character-before-doctype")
+                    continue
+                if mode == "before_html":
+                    html_id = self._new_node("html", attrs=[])
+                    self._append(html_id, 0)
+                    mode = "rest"
+                    data = data[1:]  # triggering char consumed, not kept
+                if data:
+                    buf.append(data)
+            elif kind == "StartTag":
+                if mode == "before_html":
+                    html_id = self._new_node("html", attrs=[])
+                    self._append(html_id, 0)
+                    mode = "rest"
+                # all other start tags ignored
+            elif kind == "DOCTYPE":
+                if mode == "initial":
+                    name = tok[1]
+                    self.doctype = (tok[1], tok[2], tok[3])
+                    nid = self._new_node("#doctype", text=name or "")
+                    self._append(nid, 0)
+                    mode = "before_html"
+                # ignored elsewhere
+            # EndTag / Comment: ignored in every phase
+        if mode == "before_html":
+            html_id = self._new_node("html", attrs=[])
+            self._append(html_id, 0)
+        if buf and html_id != -1:
+            nid = self._new_node("#text", text="".join(buf))
+            self._append(nid, html_id)
+        if html_id != -1:
+            self.open_elements.append(html_id)
+        self.done = True
 
     def _process_chars(self, data: str) -> None:
         # dispatch possibly-mixed whitespace/content runs per current mode
@@ -671,11 +765,13 @@ class TreeBuilder:
             cur_ns = self.ns[self._current()]
             if cur_ns == "svg":
                 adj = _SVG_TAG_ADJUST.get(name, name)
-                attrs = [(_SVG_ATTR_ADJUST.get(k, k), v)
+                attrs = [(_FOREIGN_ATTR_ADJUST.get(
+                              k, _SVG_ATTR_ADJUST.get(k, k)), v)
                          for k, v in tok[2]]
             else:
                 adj = name
-                attrs = [(_MATH_ATTR_ADJUST.get(k, k), v)
+                attrs = [(_FOREIGN_ATTR_ADJUST.get(
+                              k, _MATH_ATTR_ADJUST.get(k, k)), v)
                          for k, v in tok[2]]
             nid = self._insert_element(adj, attrs)
             self.ns[nid] = cur_ns
@@ -1254,7 +1350,8 @@ class TreeBuilder:
                 self._reconstruct_formatting()
                 adjust = (_SVG_ATTR_ADJUST if name == "svg"
                           else _MATH_ATTR_ADJUST)
-                attrs = [(adjust.get(k, k), v) for k, v in attrs]
+                attrs = [(_FOREIGN_ATTR_ADJUST.get(k, adjust.get(k, k)), v)
+                         for k, v in attrs]
                 nid = self._insert_element(name, attrs)
                 self.ns[nid] = name
                 if tok[3] and self.open_elements and self._current() == nid:
