@@ -223,6 +223,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return extract_spans_doc(interleaved_nested(spark, sf),
                                  reference_compat=True)
 
+    def q_extract_chunked(spark, sf):
+        # mega-span chunk-split path: thresholds lowered so the sandbox
+        # corpus actually splits; must produce byte-identical spans to
+        # extract_doc (same golden oracle)
+        from html_qt_spark.operators.extract import chunk_split_exploded
+        ex = interleaved_exploded(spark, sf)
+        return extract_spans_exploded(chunk_split_exploded(
+            ex, threshold_bytes=4096, target_chunk_bytes=2048))
+
     def q_doc_parse_stats(spark, sf):
         from html_qt_spark.operators.extract import doc_parse_stats
         return doc_parse_stats(interleaved_nested(spark, sf))
@@ -311,6 +320,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_doc": q_extract_doc,
         "extract_exploded": q_extract_exploded,
         "extract_compat": q_extract_compat,
+        "extract_chunked": q_extract_chunked,
         "doc_parse_stats": q_doc_parse_stats,
         "clean_corpus": q_clean_corpus,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -588,6 +598,9 @@ def oracle_sql() -> dict[str, str]:
             'SELECT doc_id, span_idx, kind, text, media_ref, "offset" '
             f"FROM read_parquet('{_FIXTURES}/golden_spans_sf001.parquet')"),
         "extract_exploded": (
+            'SELECT doc_id, span_idx, kind, text, media_ref, "offset" '
+            f"FROM read_parquet('{_FIXTURES}/golden_spans_sf001.parquet')"),
+        "extract_chunked": (
             'SELECT doc_id, span_idx, kind, text, media_ref, "offset" '
             f"FROM read_parquet('{_FIXTURES}/golden_spans_sf001.parquet')"),
         "extract_compat": (

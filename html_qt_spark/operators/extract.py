@@ -248,22 +248,98 @@ def doc_parse_stats(df: DataFrame) -> DataFrame:
 _EXPLODED_MID_SCHEMA = T.StructType([
     T.StructField("doc_id", T.StringType()),
     T.StructField("offset", T.IntegerType()),
+    T.StructField("_chunk", T.IntegerType()),
     T.StructField("_inner", T.IntegerType()),
     T.StructField("kind", T.StringType()),
     T.StructField("text", T.StringType()),
     T.StructField("media_ref", T.StringType()),
 ])
 
+# block-start tags are safe HTML cut points for the extractor: a block tag
+# always flushes the open text block, so no emitted text span straddles a
+# cut (chunk-extraction == whole-extraction on block-structured content)
+_BLOCK_CUT_RX = (
+    r"(?=<(?:p|div|h[1-6]|section|article|table|ul|ol|li|tr|blockquote|"
+    r"header|footer|nav|aside|main|pre)[\s>/])")
+# contexts where a literal "<p" inside them is NOT a real tag — a span
+# containing any of these openers is never split (correctness over
+# parallelism; the poison-pill/oversize quarantine still bounds it)
+_UNSAFE_SPLIT_RX = (
+    r"(?i)<(?:script|style|textarea|title|xmp|pre|iframe|noembed|"
+    r"noframes|plaintext|svg|math)[\s>/]|<!--|<!\[CDATA\[")
+
+
+def chunk_split_exploded(df_exploded: DataFrame, *,
+                         threshold_bytes: int = 1 << 20,
+                         target_chunk_bytes: int = 256 << 10) -> DataFrame:
+    """Split oversized text spans into chunk rows (SURVEY §4.2 mega-doc
+    path): one 1-GB span otherwise lands on ONE task — value-computation
+    skew AQE cannot see, and the exact hazard the reference's no-progress
+    guard (html-qt/htmltokenizer.cpp:66-80) aborts on.
+
+    All JVM-side: regex-split at block-start tags (lookahead keeps the
+    tag with its following chunk), greedy-pack pieces to
+    ``target_chunk_bytes`` via a running-length window, reassemble each
+    chunk with one groupBy.  Only spans > ``threshold_bytes`` that are
+    free of raw-text/comment/foreign openers are split — anything else
+    passes through whole, so splitting never changes extraction output
+    on content it can't prove safe.  Output schema = input +
+    ``_chunk:int`` ordering column, consumed by
+    :func:`extract_spans_exploded`.
+
+    The window+groupBy shuffle is keyed (doc_id, offset) and runs ONLY
+    over the filtered mega-spans (a vanishing fraction of a crawl), so
+    the common path stays shuffle-free.
+    """
+    from pyspark.sql import Window
+
+    eligible = (
+        (F.col("kind") == "text")
+        & (F.length("text") > threshold_bytes)
+        & (~F.col("text").rlike(_UNSAFE_SPLIT_RX))
+    )
+    passthrough = (df_exploded.where(~eligible | eligible.isNull())
+                   .withColumn("_chunk", F.lit(0)))
+    mega = df_exploded.where(eligible)
+    pieces = mega.select(
+        "doc_id", "offset", "kind", "media_ref",
+        F.posexplode(F.split("text", _BLOCK_CUT_RX))
+        .alias("_piece_idx", "_piece"),
+    )
+    w = (Window.partitionBy("doc_id", "offset").orderBy("_piece_idx")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    packed = pieces.withColumn(
+        "_chunk",
+        (F.coalesce(F.sum(F.length("_piece")).over(w), F.lit(0))
+         / F.lit(target_chunk_bytes)).cast("int"))
+    chunks = (
+        packed.groupBy("doc_id", "offset", "kind", "media_ref", "_chunk")
+        .agg(F.concat_ws(
+            "",
+            F.sort_array(F.collect_list(F.struct("_piece_idx", "_piece")))
+            .getField("_piece")).alias("text"))
+    )
+    cols = ["doc_id", "offset", "kind", "text", "media_ref", "_chunk"]
+    return passthrough.select(*cols).unionByName(chunks.select(*cols))
+
 
 def extract_spans_exploded(df_exploded: DataFrame) -> DataFrame:
     """Skew path over the exploded form (doc_id, offset, kind, text,
-    media_ref): per-span extraction + one window to number spans.
+    media_ref[, _chunk]): per-span extraction + one window to number
+    spans.
 
     Mega-documents parallelize across their spans; the window shuffle is
     keyed on doc_id so AQE's skew-join splitting and post-shuffle
     coalescing apply.  The UDF emits FLAT rows (no array<struct> build +
     posexplode round-trip — measured ~2x the kernel cost).
+
+    A ``_chunk`` column (from :func:`chunk_split_exploded`) slots into
+    the ordering between ``offset`` and the intra-fragment index, so
+    chunked mega-spans renumber back into document order.
     """
+    has_chunk = "_chunk" in df_exploded.columns
+    if not has_chunk:
+        df_exploded = df_exploded.withColumn("_chunk", F.lit(0))
 
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from html_qt_spark.kernel.extractor import extract_html
@@ -271,18 +347,20 @@ def extract_spans_exploded(df_exploded: DataFrame) -> DataFrame:
         for pdf in batches:
             doc_ids: list[str] = []
             offsets: list[int] = []
+            chunks: list[int] = []
             inners: list[int] = []
             kinds: list[str] = []
             texts: list[str | None] = []
             refs: list[str | None] = []
-            for doc_id, offset, kind, html, ref in zip(
-                    pdf["doc_id"], pdf["offset"], pdf["kind"],
-                    pdf["text"], pdf["media_ref"]):
+            for doc_id, offset, chunk, kind, html, ref in zip(
+                    pdf["doc_id"], pdf["offset"], pdf["_chunk"],
+                    pdf["kind"], pdf["text"], pdf["media_ref"]):
                 if kind == "media":
                     if isinstance(html, (bytes, bytearray)):
                         html = bytes(html).decode("utf-8", "replace")
                     doc_ids.append(doc_id)
                     offsets.append(offset)
+                    chunks.append(chunk)
                     inners.append(0)
                     kinds.append("media")
                     texts.append(html)
@@ -294,6 +372,7 @@ def extract_spans_exploded(df_exploded: DataFrame) -> DataFrame:
                     for i, (k, t, m) in enumerate(extract_html(html)):
                         doc_ids.append(doc_id)
                         offsets.append(offset)
+                        chunks.append(chunk)
                         inners.append(i)
                         kinds.append(k)
                         texts.append(t)
@@ -301,17 +380,19 @@ def extract_spans_exploded(df_exploded: DataFrame) -> DataFrame:
                 except Exception as exc:  # noqa: BLE001 — poison pill
                     doc_ids.append(doc_id)
                     offsets.append(offset)
+                    chunks.append(chunk)
                     inners.append(0)
                     kinds.append(QUARANTINE_KIND)
                     texts.append(f"{type(exc).__name__}:{exc}"[:512])
                     refs.append(None)
             yield pd.DataFrame({
-                "doc_id": doc_ids, "offset": offsets, "_inner": inners,
-                "kind": kinds, "text": texts, "media_ref": refs,
+                "doc_id": doc_ids, "offset": offsets, "_chunk": chunks,
+                "_inner": inners, "kind": kinds, "text": texts,
+                "media_ref": refs,
             })
 
     extracted = df_exploded.mapInPandas(process, schema=_EXPLODED_MID_SCHEMA)
-    w = Window.partitionBy("doc_id").orderBy("offset", "_inner")
+    w = Window.partitionBy("doc_id").orderBy("offset", "_chunk", "_inner")
     return (
         extracted
         .withColumn("span_idx",

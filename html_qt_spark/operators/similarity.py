@@ -150,16 +150,48 @@ def cosine_dup_pairs(embeddings: DataFrame, *, threshold: float = 0.95,
 
 def ann_lsh_topk(embeddings: DataFrame, query_vec_id: int = 0,
                  k: int = 10, *, n_planes: int = 6,
-                 dim: int = 64) -> DataFrame:
-    """ANN: restrict the exact cosine to the query's SRP bucket, then
+                 dim: int = 64, probe_bits: int = 1) -> DataFrame:
+    """ANN: restrict the exact cosine to the query's SRP bucket(s), then
     re-rank.  At scale the bucket join replaces the full-corpus scan with
-    ~corpus/2^n_planes candidates; recall tunes via n_planes."""
+    ~candidates/2^n_planes per probe; recall tunes via n_planes and
+    probing.
+
+    ``probe_bits``: also probe every neighbor bucket within this hamming
+    distance of the query bucket (0 = single-bucket).  A near neighbor
+    that lands a hair across one hyperplane differs from the query in
+    exactly that sign bit, so single-bucket probing loses precisely those
+    vectors — multi-probe recovers them at sum_{i<=b} C(n,i)/2^n of the
+    corpus scanned instead of rebuilding with fewer planes (Lv et al.,
+    VLDB 2007).  Recall is only meaningful when true near neighbors exist
+    (cos >> the isotropic background); see tests/test_ann_recall.py.
+    """
+    from itertools import combinations
+
     buckets = srp_buckets(embeddings, n_planes=n_planes, dim=dim)
     qb = buckets.where(F.col("vec_id") == query_vec_id) \
                 .select(F.col("bucket").alias("q_bucket"))
+    if probe_bits > 0:
+        def flip(idxs) -> object:
+            # rebuild the bucket string with the chosen bits inverted
+            idxs = set(idxs)
+            parts = []
+            for i in range(n_planes):
+                ch = F.substring("q_bucket", i + 1, 1)
+                if i in idxs:
+                    parts.append(
+                        F.when(ch == "1", F.lit("0")).otherwise(F.lit("1")))
+                else:
+                    parts.append(ch)
+            return F.concat(*parts)
+
+        probes = [F.col("q_bucket")]
+        for b in range(1, probe_bits + 1):
+            probes.extend(flip(c) for c in combinations(range(n_planes), b))
+        qb = qb.select(F.explode(F.array(*probes)).alias("q_bucket")) \
+               .distinct()
     candidates = (
-        buckets.crossJoin(F.broadcast(qb))
-        .where(F.col("bucket") == F.col("q_bucket"))
+        buckets.join(F.broadcast(qb),
+                     F.col("bucket") == F.col("q_bucket"))
         .select("vec_id")
     )
     cand_emb = embeddings.join(F.broadcast(candidates), "vec_id")

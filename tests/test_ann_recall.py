@@ -1,0 +1,104 @@
+"""ANN recall gate (VERDICT r1 item 7).
+
+Recall@k of SRP-bucketed ANN is only meaningful when true near neighbors
+exist: on isotropic random vectors the top-10 "neighbors" sit at cos≈0.3
+(measured on sf0.01 embeddings) and every hash-based ANN scheme degrades
+to corpus scanning there.  So the ≥0.9 gate runs on planted near-duplicate
+clusters (the workload ANN dedups at 100 TB); the sf0.01 table pins the
+multi-probe improvement on hostile (isotropic) data.
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+from pathlib import Path
+
+import pytest
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+DIM = 64
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from html_qt_spark.plans.session import get_spark
+
+    s = get_spark(cpus=4, shuffle_partitions=8)
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+
+
+def _unit(vec):
+    n = math.sqrt(sum(x * x for x in vec))
+    return [x / n for x in vec]
+
+
+def _pseudo(seed: int) -> list[float]:
+    # deterministic pseudo-random unit vector (no RNG: xorshift-ish fold)
+    out = []
+    h = seed * 2654435761 % (2**32)
+    for _ in range(DIM):
+        h ^= (h << 13) % (2**32)
+        h ^= h >> 17
+        h ^= (h << 5) % (2**32)
+        out.append((h % 2001 - 1000) / 1000.0)
+    return _unit(out)
+
+
+def _clustered_embeddings(spark, n_clusters=20, per_cluster=10, noise=0.08):
+    """Clusters of near-duplicates: members = center + small deterministic
+    perturbation, cos(member, center) ≈ 1 - noise²/2 >> background."""
+    rows = []
+    vid = 0
+    for c in range(n_clusters):
+        center = _pseudo(1000 + c)
+        for m in range(per_cluster):
+            pert = _pseudo(5000 + c * 97 + m)
+            vec = _unit([x + noise * p for x, p in zip(center, pert)])
+            rows.append((vid, vec))
+            vid += 1
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_recall_gate_on_clustered_data(spark):
+    from html_qt_spark.operators.similarity import ann_lsh_topk, cosine_topk
+
+    emb = _clustered_embeddings(spark)
+    recalls = []
+    for q in (0, 10, 55, 111, 190):  # one query per sampled cluster
+        exact = {r.vec_id for r in cosine_topk(emb, q, 9).collect()}
+        ann = {r.vec_id
+               for r in ann_lsh_topk(emb, q, 9, n_planes=6,
+                                     probe_bits=1).collect()}
+        recalls.append(len(exact & ann) / 9)
+    assert sum(recalls) / len(recalls) >= 0.9, recalls
+
+
+def test_multi_probe_beats_single_on_isotropic_sf(spark):
+    from html_qt_spark.operators.similarity import ann_lsh_topk, cosine_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    totals = {0: 0.0, 1: 0.0, 2: 0.0}
+    queries = (0, 7, 42)
+    for q in queries:
+        exact = {r.vec_id for r in cosine_topk(emb, q, 10).collect()}
+        for bits in totals:
+            got = {r.vec_id for r in ann_lsh_topk(
+                emb, q, 10, probe_bits=bits).collect()}
+            totals[bits] += len(exact & got) / 10
+    n = len(queries)
+    # monotone: more probes, more recall — and 1-bit probing must recover
+    # a nonzero share even on hostile data
+    assert totals[0] <= totals[1] <= totals[2]
+    assert totals[1] / n >= 0.2
+
+
+def test_probe_set_size(spark):
+    from html_qt_spark.operators.similarity import ann_lsh_topk
+
+    emb = _clustered_embeddings(spark, n_clusters=4, per_cluster=4)
+    # smoke: 2-bit probing over 6 planes = 1+6+15 buckets, must still
+    # return k rows and not blow up the plan
+    assert ann_lsh_topk(emb, 0, 5, probe_bits=2).count() == 5
