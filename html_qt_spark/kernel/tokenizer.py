@@ -210,8 +210,14 @@ class HTMLTokenizer:
         self.attr_value = []
 
     def _emit_tag(self) -> None:
-        self._finish_attr()
-        self._flush_chars()
+        # inline _finish_attr/_flush_chars (hot: once per tag; the fast
+        # tag path never populates attr_name, and charbuf is often empty)
+        if self.attr_name:
+            self._finish_attr()
+        buf = self._charbuf
+        if buf:
+            self.tokens.append(("Character", "".join(buf)))
+            buf.clear()
         # Emitting a tag always returns to the data state unless the start
         # tag dictates an RCDATA/RAWTEXT/script/plaintext switch below.
         self.state = self._data_state_ref

@@ -82,17 +82,10 @@ _HEADINGS = frozenset("h1 h2 h3 h4 h5 h6".split())
 
 _TABLE_CTX = frozenset("table tbody tfoot thead tr".split())
 
-# every start/end tag name the in-body handler special-cases; anything
-# else takes the one-step ordinary-element path (hot-path shortcut)
-_IN_BODY_SPECIAL_START = (
-    frozenset("""html base basefont bgsound link meta noframes script style
-    template title body frameset pre listing form li dd dt plaintext button
-    a nobr applet marquee object table area br embed img keygen wbr input
-    param source track hr image textarea xmp iframe noembed select optgroup
-    option rb rtc rp rt caption col colgroup frame head tbody td tfoot th
-    thead tr math svg""".split())
-    | _P_CLOSERS | _HEADINGS | FORMATTING
-)
+# in-body start tags dispatch through the per-tag handler dict
+# _IN_BODY_START (built after the class body); anything not in the dict
+# takes the one-step ordinary-element path.  End tags keep a set
+# pre-check + short chain (far fewer special cases).
 _IN_BODY_SPECIAL_END = (
     frozenset("""body html form p li dd dt applet marquee object br
     template""".split())
@@ -253,6 +246,24 @@ class TreeBuilder:
         return target, None
 
     def _insert_element(self, name: str, attrs, *, push: bool = True) -> int:
+        # fast path (hot: once per element): no foster parenting → the
+        # insertion place is simply the current node, so the node-create +
+        # append sequence is inlined (saves 3 call frames per element;
+        # measured ~8% of whole-document parse time)
+        if not self.foster_parenting:
+            tags = self.tag
+            nid = len(tags)
+            open_elements = self.open_elements
+            tags.append(name)
+            self.parent.append(open_elements[-1])
+            self.children[open_elements[-1]].append(nid)
+            self.children.append([])
+            self.attrs.append(attrs or [])
+            self.text.append(None)
+            self.ns.append("html")
+            if push and len(open_elements) < MAX_DEPTH:
+                open_elements.append(nid)
+            return nid
         nid = self._new_node(name, attrs or [])
         parent_id, index = self._insertion_place()
         if index is None:
@@ -268,6 +279,23 @@ class TreeBuilder:
         # Engine version of HTMLTree::insertText (html-qt/htmltree.cpp:38-47)
         # but into real #text nodes so element/text order is preserved.
         if not data:
+            return
+        if not self.foster_parenting:
+            # fast path mirroring _insert_element
+            kids = self.children[self.open_elements[-1]]
+            if kids and self.tag[kids[-1]] == "#text":
+                self.text[kids[-1]] += data
+                return
+            tags = self.tag
+            nid = len(tags)
+            parent_id = self.open_elements[-1]
+            tags.append("#text")
+            self.parent.append(parent_id)
+            kids.append(nid)
+            self.children.append([])
+            self.attrs.append(None)
+            self.text.append(data)
+            self.ns.append("html")
             return
         parent_id, index = self._insertion_place()
         kids = self.children[parent_id]
@@ -1109,257 +1137,257 @@ class TreeBuilder:
                 self.frameset_ok = False
         return orig_len
 
-    def _tag_in_body(self, tok: tuple) -> None:  # noqa: C901
+    # ---- in-body start-tag handlers, dict-dispatched (one dict probe
+    # replaces the former ~25-test membership chain; the dispatch table
+    # _IN_BODY_START is assembled after the class body).  Ordinary tags
+    # (span/cite/abbr/...) miss the dict and take the two-call fast path.
+
+    def _ibs_html(self, tok, name, attrs) -> None:
+        # merge attrs into root without overwrite
+        # (HTMLAbstractPhase::startTagHtml, html-qt/htmlabstractphase.cpp:32-51)
+        self._err("unexpected-start-tag")
+        root = self.open_elements[0]
+        existing = {k for k, _ in (self.attrs[root] or [])}
+        merged = list(self.attrs[root] or [])
+        for k, v in attrs:
+            if k not in existing:
+                merged.append((k, v))
+        self.attrs[root] = merged
+
+    def _ibs_in_head(self, tok, name, attrs) -> None:
+        self._tag_in_head(tok)
+
+    def _ibs_body(self, tok, name, attrs) -> None:
+        self._err("unexpected-start-tag")
+        if len(self.open_elements) > 1 \
+                and self.tag[self.open_elements[1]] == "body":
+            body = self.open_elements[1]
+            existing = {k for k, _ in (self.attrs[body] or [])}
+            merged = list(self.attrs[body] or [])
+            for k, v in attrs:
+                if k not in existing:
+                    merged.append((k, v))
+            self.attrs[body] = merged
+            self.frameset_ok = False
+
+    def _ibs_frameset(self, tok, name, attrs) -> None:
+        self._err("unexpected-start-tag")
+        if (self.frameset_ok and len(self.open_elements) > 1
+                and self.tag[self.open_elements[1]] == "body"):
+            body = self.open_elements[1]
+            self._detach(body)
+            del self.open_elements[1:]
+            self._insert_element("frameset", attrs)
+            self.mode = "in_frameset"
+
+    def _ibs_p_closer(self, tok, name, attrs) -> None:
+        if self._in_button_scope("p"):
+            self._close_p()
+        self._insert_element(name, attrs)
+
+    def _ibs_heading(self, tok, name, attrs) -> None:
+        if self._in_button_scope("p"):
+            self._close_p()
+        if self.tag[self._current()] in _HEADINGS:
+            self._err("unexpected-start-tag")
+            self.open_elements.pop()
+        self._insert_element(name, attrs)
+
+    def _ibs_pre(self, tok, name, attrs) -> None:
+        if self._in_button_scope("p"):
+            self._close_p()
+        self._insert_element(name, attrs)
+        self.ignore_lf = True
+        self.frameset_ok = False
+
+    def _ibs_form(self, tok, name, attrs) -> None:
+        if self.form_id != -1:
+            self._err("unexpected-start-tag")
+            return
+        if self._in_button_scope("p"):
+            self._close_p()
+        self.form_id = self._insert_element(name, attrs)
+
+    def _ibs_li(self, tok, name, attrs) -> None:
+        self.frameset_ok = False
+        for nid in reversed(self.open_elements):
+            t = self.tag[nid]
+            if t == "li":
+                self._generate_implied_end(exclude="li")
+                self._pop_until("li")
+                break
+            if t in SPECIAL and t not in ("address", "div", "p"):
+                break
+        if self._in_button_scope("p"):
+            self._close_p()
+        self._insert_element(name, attrs)
+
+    def _ibs_dd_dt(self, tok, name, attrs) -> None:
+        self.frameset_ok = False
+        for nid in reversed(self.open_elements):
+            t = self.tag[nid]
+            if t in ("dd", "dt"):
+                self._generate_implied_end(exclude=t)
+                self._pop_until(t)
+                break
+            if t in SPECIAL and t not in ("address", "div", "p"):
+                break
+        if self._in_button_scope("p"):
+            self._close_p()
+        self._insert_element(name, attrs)
+
+    def _ibs_plaintext(self, tok, name, attrs) -> None:
+        if self._in_button_scope("p"):
+            self._close_p()
+        self._insert_element(name, attrs)
+
+    def _ibs_button(self, tok, name, attrs) -> None:
+        if self._in_scope("button"):
+            self._err("unexpected-start-tag")
+            self._generate_implied_end()
+            self._pop_until("button")
+        self._reconstruct_formatting()
+        self._insert_element(name, attrs)
+        self.frameset_ok = False
+
+    def _ibs_a(self, tok, name, attrs) -> None:
+        for entry in reversed(self.active_formatting):
+            if entry == MARKER:
+                break
+            if self.tag[entry[0]] == "a":
+                self._err("unexpected-start-tag-implies-end-tag")
+                self._adoption_agency("a")
+                if entry in self.active_formatting:
+                    self.active_formatting.remove(entry)
+                if entry[0] in self.open_elements:
+                    self.open_elements.remove(entry[0])
+                break
+        self._reconstruct_formatting()
+        nid = self._insert_element(name, attrs)
+        self._push_formatting(nid, tok)
+
+    def _ibs_nobr(self, tok, name, attrs) -> None:
+        self._reconstruct_formatting()
+        if self._in_scope("nobr"):
+            self._err("unexpected-start-tag-implies-end-tag")
+            self._adoption_agency("nobr")
+            self._reconstruct_formatting()
+        nid = self._insert_element(name, attrs)
+        self._push_formatting(nid, tok)
+
+    def _ibs_formatting(self, tok, name, attrs) -> None:
+        self._reconstruct_formatting()
+        nid = self._insert_element(name, attrs)
+        self._push_formatting(nid, tok)
+
+    def _ibs_marker_container(self, tok, name, attrs) -> None:
+        self._reconstruct_formatting()
+        self._insert_element(name, attrs)
+        self.active_formatting.append(MARKER)
+        self.frameset_ok = False
+
+    def _ibs_table(self, tok, name, attrs) -> None:
+        if self.quirks_mode != "quirks" and self._in_button_scope("p"):
+            self._close_p()
+        self._insert_element(name, attrs)
+        self.frameset_ok = False
+        self.mode = "in_table"
+
+    def _ibs_void(self, tok, name, attrs) -> None:
+        self._reconstruct_formatting()
+        self._insert_element(name, attrs, push=False)
+        self.frameset_ok = False
+
+    def _ibs_input(self, tok, name, attrs) -> None:
+        self._reconstruct_formatting()
+        self._insert_element(name, attrs, push=False)
+        typ = next((v for k, v in attrs if k == "type"), "")
+        if typ.lower() != "hidden":
+            self.frameset_ok = False
+
+    def _ibs_param(self, tok, name, attrs) -> None:
+        self._insert_element(name, attrs, push=False)
+
+    def _ibs_hr(self, tok, name, attrs) -> None:
+        if self._in_button_scope("p"):
+            self._close_p()
+        self._insert_element(name, attrs, push=False)
+        self.frameset_ok = False
+
+    def _ibs_image(self, tok, name, attrs) -> None:
+        self._err("unexpected-start-tag")  # treat as img
+        self._tag_in_body(("StartTag", "img", tok[2], tok[3]))
+
+    def _ibs_textarea(self, tok, name, attrs) -> None:
+        self._insert_element(name, attrs)
+        self.ignore_lf = True
+        self.original_mode = self.mode
+        self.frameset_ok = False
+        self.mode = "text"
+
+    def _ibs_xmp(self, tok, name, attrs) -> None:
+        if self._in_button_scope("p"):
+            self._close_p()
+        self._reconstruct_formatting()
+        self.frameset_ok = False
+        self._insert_element(name, attrs)
+        self.original_mode = "in_body"
+        self.mode = "text"
+
+    def _ibs_rawtext(self, tok, name, attrs) -> None:
+        self.frameset_ok = False
+        self._insert_element(name, attrs)
+        self.original_mode = "in_body"
+        self.mode = "text"
+
+    def _ibs_select(self, tok, name, attrs) -> None:
+        self._reconstruct_formatting()
+        self._insert_element(name, attrs)
+        self.frameset_ok = False
+        if self.mode in ("in_table", "in_caption", "in_table_body",
+                         "in_row", "in_cell"):
+            self.mode = "in_select_in_table"
+        else:
+            self.mode = "in_select"
+
+    def _ibs_option(self, tok, name, attrs) -> None:
+        if self.tag[self._current()] == "option":
+            self.open_elements.pop()
+        self._reconstruct_formatting()
+        self._insert_element(name, attrs)
+
+    def _ibs_ruby(self, tok, name, attrs) -> None:
+        if self._in_scope("ruby"):
+            self._generate_implied_end(
+                exclude=None if name in ("rb", "rtc") else "rtc")
+        self._insert_element(name, attrs)
+
+    def _ibs_ignored(self, tok, name, attrs) -> None:
+        self._err("unexpected-start-tag-ignored")
+
+    def _ibs_foreign_root(self, tok, name, attrs) -> None:
+        # foreign-content root: namespace flips; subsequent tokens
+        # route through _process_foreign_tag until breakout/close
+        self._reconstruct_formatting()
+        adjust = (_SVG_ATTR_ADJUST if name == "svg"
+                  else _MATH_ATTR_ADJUST)
+        attrs = [(_FOREIGN_ATTR_ADJUST.get(k, adjust.get(k, k)), v)
+                 for k, v in attrs]
+        nid = self._insert_element(name, attrs)
+        self.ns[nid] = name
+        if tok[3] and self.open_elements and self._current() == nid:
+            self.open_elements.pop()
+
+    def _tag_in_body(self, tok: tuple) -> None:
         kind, name = tok[0], tok[1]
         if kind == "StartTag":
-            if name not in _IN_BODY_SPECIAL_START:
-                # ordinary element (span/cite/abbr/...): skip the whole
-                # special-case chain
+            handler = _IN_BODY_START.get(name)
+            if handler is None:
+                # ordinary element (span/cite/abbr/...)
                 self._reconstruct_formatting()
                 self._insert_element(name, list(tok[2]))
                 return
-            attrs = list(tok[2])
-            if name == "html":
-                # merge attrs into root without overwrite
-                # (HTMLAbstractPhase::startTagHtml,
-                #  html-qt/htmlabstractphase.cpp:32-51)
-                self._err("non-html-root" if False else "unexpected-start-tag")
-                root = self.open_elements[0]
-                existing = {k for k, _ in (self.attrs[root] or [])}
-                merged = list(self.attrs[root] or [])
-                for k, v in attrs:
-                    if k not in existing:
-                        merged.append((k, v))
-                self.attrs[root] = merged
-                return
-            if name in ("base", "basefont", "bgsound", "link", "meta",
-                        "noframes", "script", "style", "template", "title"):
-                self._tag_in_head(tok)
-                return
-            if name == "body":
-                self._err("unexpected-start-tag")
-                if len(self.open_elements) > 1 and self.tag[self.open_elements[1]] == "body":
-                    body = self.open_elements[1]
-                    existing = {k for k, _ in (self.attrs[body] or [])}
-                    merged = list(self.attrs[body] or [])
-                    for k, v in attrs:
-                        if k not in existing:
-                            merged.append((k, v))
-                    self.attrs[body] = merged
-                    self.frameset_ok = False
-                return
-            if name == "frameset":
-                self._err("unexpected-start-tag")
-                if (self.frameset_ok and len(self.open_elements) > 1
-                        and self.tag[self.open_elements[1]] == "body"):
-                    body = self.open_elements[1]
-                    self._detach(body)
-                    del self.open_elements[1:]
-                    self._insert_element("frameset", attrs)
-                    self.mode = "in_frameset"
-                return
-            if name in _P_CLOSERS:
-                if self._in_button_scope("p"):
-                    self._close_p()
-                self._insert_element(name, attrs)
-                return
-            if name in _HEADINGS:
-                if self._in_button_scope("p"):
-                    self._close_p()
-                if self.tag[self._current()] in _HEADINGS:
-                    self._err("unexpected-start-tag")
-                    self.open_elements.pop()
-                self._insert_element(name, attrs)
-                return
-            if name in ("pre", "listing"):
-                if self._in_button_scope("p"):
-                    self._close_p()
-                self._insert_element(name, attrs)
-                self.ignore_lf = True
-                self.frameset_ok = False
-                return
-            if name == "form":
-                if self.form_id != -1:
-                    self._err("unexpected-start-tag")
-                    return
-                if self._in_button_scope("p"):
-                    self._close_p()
-                self.form_id = self._insert_element(name, attrs)
-                return
-            if name == "li":
-                self.frameset_ok = False
-                for nid in reversed(self.open_elements):
-                    t = self.tag[nid]
-                    if t == "li":
-                        self._generate_implied_end(exclude="li")
-                        self._pop_until("li")
-                        break
-                    if t in SPECIAL and t not in ("address", "div", "p"):
-                        break
-                if self._in_button_scope("p"):
-                    self._close_p()
-                self._insert_element(name, attrs)
-                return
-            if name in ("dd", "dt"):
-                self.frameset_ok = False
-                for nid in reversed(self.open_elements):
-                    t = self.tag[nid]
-                    if t in ("dd", "dt"):
-                        self._generate_implied_end(exclude=t)
-                        self._pop_until(t)
-                        break
-                    if t in SPECIAL and t not in ("address", "div", "p"):
-                        break
-                if self._in_button_scope("p"):
-                    self._close_p()
-                self._insert_element(name, attrs)
-                return
-            if name == "plaintext":
-                if self._in_button_scope("p"):
-                    self._close_p()
-                self._insert_element(name, attrs)
-                return
-            if name == "button":
-                if self._in_scope("button"):
-                    self._err("unexpected-start-tag")
-                    self._generate_implied_end()
-                    self._pop_until("button")
-                self._reconstruct_formatting()
-                self._insert_element(name, attrs)
-                self.frameset_ok = False
-                return
-            if name == "a":
-                for entry in reversed(self.active_formatting):
-                    if entry == MARKER:
-                        break
-                    if self.tag[entry[0]] == "a":
-                        self._err("unexpected-start-tag-implies-end-tag")
-                        self._adoption_agency("a")
-                        if entry in self.active_formatting:
-                            self.active_formatting.remove(entry)
-                        if entry[0] in self.open_elements:
-                            self.open_elements.remove(entry[0])
-                        break
-                self._reconstruct_formatting()
-                nid = self._insert_element(name, attrs)
-                self._push_formatting(nid, tok)
-                return
-            if name == "nobr":
-                self._reconstruct_formatting()
-                if self._in_scope("nobr"):
-                    self._err("unexpected-start-tag-implies-end-tag")
-                    self._adoption_agency("nobr")
-                    self._reconstruct_formatting()
-                nid = self._insert_element(name, attrs)
-                self._push_formatting(nid, tok)
-                return
-            if name in FORMATTING:
-                self._reconstruct_formatting()
-                nid = self._insert_element(name, attrs)
-                self._push_formatting(nid, tok)
-                return
-            if name in ("applet", "marquee", "object"):
-                self._reconstruct_formatting()
-                self._insert_element(name, attrs)
-                self.active_formatting.append(MARKER)
-                self.frameset_ok = False
-                return
-            if name == "table":
-                if self.quirks_mode != "quirks" and self._in_button_scope("p"):
-                    self._close_p()
-                self._insert_element(name, attrs)
-                self.frameset_ok = False
-                self.mode = "in_table"
-                return
-            if name in ("area", "br", "embed", "img", "keygen", "wbr"):
-                self._reconstruct_formatting()
-                self._insert_element(name, attrs, push=False)
-                self.frameset_ok = False
-                return
-            if name == "input":
-                self._reconstruct_formatting()
-                self._insert_element(name, attrs, push=False)
-                typ = next((v for k, v in attrs if k == "type"), "")
-                if typ.lower() != "hidden":
-                    self.frameset_ok = False
-                return
-            if name in ("param", "source", "track"):
-                self._insert_element(name, attrs, push=False)
-                return
-            if name == "hr":
-                if self._in_button_scope("p"):
-                    self._close_p()
-                self._insert_element(name, attrs, push=False)
-                self.frameset_ok = False
-                return
-            if name == "image":
-                self._err("unexpected-start-tag")  # treat as img
-                self._tag_in_body(("StartTag", "img", tok[2], tok[3]))
-                return
-            if name == "textarea":
-                self._insert_element(name, attrs)
-                self.ignore_lf = True
-                self.original_mode = self.mode
-                self.frameset_ok = False
-                self.mode = "text"
-                return
-            if name == "xmp":
-                if self._in_button_scope("p"):
-                    self._close_p()
-                self._reconstruct_formatting()
-                self.frameset_ok = False
-                self._insert_element(name, attrs)
-                self.original_mode = "in_body"
-                self.mode = "text"
-                return
-            if name in ("iframe", "noembed"):
-                self.frameset_ok = False
-                self._insert_element(name, attrs)
-                self.original_mode = "in_body"
-                self.mode = "text"
-                return
-            if name == "select":
-                self._reconstruct_formatting()
-                self._insert_element(name, attrs)
-                self.frameset_ok = False
-                if self.mode in ("in_table", "in_caption", "in_table_body",
-                                 "in_row", "in_cell"):
-                    self.mode = "in_select_in_table"
-                else:
-                    self.mode = "in_select"
-                return
-            if name in ("optgroup", "option"):
-                if self.tag[self._current()] == "option":
-                    self.open_elements.pop()
-                self._reconstruct_formatting()
-                self._insert_element(name, attrs)
-                return
-            if name in ("rb", "rtc", "rp", "rt"):
-                if self._in_scope("ruby"):
-                    self._generate_implied_end(
-                        exclude=None if name in ("rb", "rtc") else "rtc")
-                self._insert_element(name, attrs)
-                return
-            if name in ("caption", "col", "colgroup", "frame", "head",
-                        "tbody", "td", "tfoot", "th", "thead", "tr"):
-                self._err("unexpected-start-tag-ignored")
-                return
-            if name in ("math", "svg"):
-                # foreign-content root: namespace flips; subsequent tokens
-                # route through _process_foreign_tag until breakout/close
-                self._reconstruct_formatting()
-                adjust = (_SVG_ATTR_ADJUST if name == "svg"
-                          else _MATH_ATTR_ADJUST)
-                attrs = [(_FOREIGN_ATTR_ADJUST.get(k, adjust.get(k, k)), v)
-                         for k, v in attrs]
-                nid = self._insert_element(name, attrs)
-                self.ns[nid] = name
-                if tok[3] and self.open_elements and self._current() == nid:
-                    self.open_elements.pop()
-                return
-            # everything else: ordinary element
-            self._reconstruct_formatting()
-            self._insert_element(name, attrs)
+            handler(self, tok, name, list(tok[2]))
             return
 
         # ---- end tags in body
@@ -2054,6 +2082,55 @@ def parse(html_text: str, *, reference_compat: bool = False,
                      collect_errors=collect_errors)
     tb.process(tokens)
     return tb
+
+
+# in-body start-tag dispatch: tag name -> unbound handler (built once at
+# import; one dict probe replaces the former ~25-test membership chain)
+def _build_in_body_start() -> dict:
+    tb = TreeBuilder
+    d: dict = {}
+    for n in ("base basefont bgsound link meta noframes script style "
+              "template title").split():
+        d[n] = tb._ibs_in_head
+    for n in _P_CLOSERS:
+        d[n] = tb._ibs_p_closer
+    for n in _HEADINGS:
+        d[n] = tb._ibs_heading
+    for n in FORMATTING:
+        d[n] = tb._ibs_formatting
+    d["a"] = tb._ibs_a            # override the generic formatting entry
+    d["nobr"] = tb._ibs_nobr
+    for n in ("pre", "listing"):
+        d[n] = tb._ibs_pre
+    for n in ("applet", "marquee", "object"):
+        d[n] = tb._ibs_marker_container
+    for n in ("area", "br", "embed", "img", "keygen", "wbr"):
+        d[n] = tb._ibs_void
+    for n in ("param", "source", "track"):
+        d[n] = tb._ibs_param
+    for n in ("iframe", "noembed"):
+        d[n] = tb._ibs_rawtext
+    for n in ("optgroup", "option"):
+        d[n] = tb._ibs_option
+    for n in ("rb", "rtc", "rp", "rt"):
+        d[n] = tb._ibs_ruby
+    for n in ("caption col colgroup frame head tbody td tfoot th thead "
+              "tr").split():
+        d[n] = tb._ibs_ignored
+    for n in ("math", "svg"):
+        d[n] = tb._ibs_foreign_root
+    d.update(
+        html=tb._ibs_html, body=tb._ibs_body, frameset=tb._ibs_frameset,
+        form=tb._ibs_form, li=tb._ibs_li, dd=tb._ibs_dd_dt,
+        dt=tb._ibs_dd_dt, plaintext=tb._ibs_plaintext,
+        button=tb._ibs_button, table=tb._ibs_table, input=tb._ibs_input,
+        hr=tb._ibs_hr, image=tb._ibs_image, textarea=tb._ibs_textarea,
+        xmp=tb._ibs_xmp, select=tb._ibs_select,
+    )
+    return d
+
+
+_IN_BODY_START = _build_in_body_start()
 
 
 # mode-name -> unbound handler dispatch tables (built once at import;
