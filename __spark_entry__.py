@@ -203,8 +203,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         F.round("cos", 3).alias("cos3")))
 
     def q_cosine_dupes_lsh(spark, sf):
+        # md5_32 hyperplanes = exact DuckDB oracle for the bucketed path
+        # (xxhash64 is the production default; identical plan shape)
         return similarity.cosine_dup_pairs(
-            _emb(spark, sf), threshold=0.35, n_planes=4)
+            _emb(spark, sf), threshold=0.35, n_planes=4, hash_fn="md5_32")
+
+    def q_json_meta(spark, sf):
+        # JSON function surface: build (to_json) -> path-extract
+        # (get_json_object) -> schema parse (from_json) roundtrip
+        docs = _docs(spark, sf)
+        j = docs.select(
+            "doc_id",
+            F.to_json(F.struct(
+                "lang", F.col("n_chars").cast("long").alias("n"),
+                "source")).alias("meta"))
+        return j.select(
+            "doc_id", "meta",
+            F.get_json_object("meta", "$.lang").alias("lang_x"),
+            F.from_json(
+                "meta", "lang string, n long, source string").alias("s"),
+        ).select("doc_id", "meta", "lang_x",
+                 F.col("s.n").alias("n_x"),
+                 F.col("s.source").alias("source_x"))
 
     def q_winnowing(spark, sf):
         # md5_32 hash family = exact DuckDB oracle; same plan shape as the
@@ -271,7 +291,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         F.round("jaccard", 3).alias("j3")))
 
     def q_ann_lsh_topk(spark, sf):
-        return similarity.ann_lsh_topk(_emb(spark, sf), query_vec_id=0, k=10)
+        # integer-only projection (rank, not cos) so the oracle compare is
+        # float-drift-free; md5_32 hyperplanes for DuckDB reproducibility
+        ann = similarity.ann_lsh_topk(_emb(spark, sf), query_vec_id=0,
+                                      k=10, hash_fn="md5_32")
+        w = Window.orderBy(F.col("cos").desc(), F.col("vec_id"))
+        return ann.select("vec_id", F.row_number().over(w).cast("long")
+                          .alias("rank"))
 
     def q_media_decode(spark, sf):
         # feature:array<float> is quantized back to its byte form and
@@ -316,6 +342,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regex_tokens": q_regex_tokens,
         "cosine_dupes": q_cosine_dupes,
         "cosine_dupes_lsh": q_cosine_dupes_lsh,
+        "json_meta": q_json_meta,
         "winnowing": q_winnowing,
         "extract_doc": q_extract_doc,
         "extract_exploded": q_extract_exploded,
@@ -400,6 +427,52 @@ _FRAME_ORACLE_BODY = (
 # conv(substring(md5(x),1,8),16,10) exactly)
 def _md5_32(expr: str) -> str:
     return f"('0x' || substr(md5({expr}), 1, 8))::BIGINT"
+
+
+# SRP bucket recomputation in SQL: plane p's sign bit over a 64-dim
+# embedding, with the md5_32 hyperplane family and a left-to-right
+# list_reduce fold matching Spark's aggregate() summation order exactly
+# (bucket parity verified bit-for-bit on sf0.01)
+def _srp_bit(p: int) -> str:
+    return (
+        "CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        "list_transform(range(0, 64), d -> embedding[CAST(d+1 AS INT)] * "
+        f"((('0x' || substr(md5('{p}:' || CAST(d AS STRING)), 1, 8))"
+        "::BIGINT % 1001 - 500) / 500.0))), "
+        "(a, b) -> a + b) >= 0 THEN '1' ELSE '0' END")
+
+
+def _srp_bucket(n_planes: int) -> str:
+    return " || ".join(_srp_bit(p) for p in range(n_planes))
+
+
+_HAMMING_LE1 = "(" + " + ".join(
+    f"CASE WHEN substr(bucket, {i + 1}, 1) <> substr(qb, {i + 1}, 1) "
+    "THEN 1 ELSE 0 END" for i in range(6)) + ") <= 1"
+
+_COSINE_DUPES_LSH_ORACLE = (
+    f"WITH b AS (SELECT vec_id, embedding, {_srp_bucket(4)} AS bucket "
+    "FROM embeddings) "
+    "SELECT a.vec_id AS vec_a, c.vec_id AS vec_b, "
+    "round(list_cosine_similarity(a.embedding::DOUBLE[], "
+    "c.embedding::DOUBLE[]), 4) AS cos "
+    "FROM b a JOIN b c ON a.bucket = c.bucket "
+    "AND a.vec_id < c.vec_id "
+    "WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], "
+    "c.embedding::DOUBLE[]), 4) >= 0.35")
+
+_ANN_LSH_ORACLE = (
+    f"WITH b AS (SELECT vec_id, embedding, {_srp_bucket(6)} AS bucket "
+    "FROM embeddings), "
+    "q AS (SELECT bucket AS qb, embedding AS q_emb FROM b "
+    "WHERE vec_id = 0), "
+    "cand AS (SELECT b.vec_id, b.embedding, q.q_emb FROM b, q "
+    f"WHERE {_HAMMING_LE1} AND b.vec_id <> 0) "
+    "SELECT vec_id, CAST(row_number() OVER (ORDER BY "
+    "list_cosine_similarity(embedding, q_emb) DESC, vec_id) AS BIGINT) "
+    "AS rank "
+    "FROM cand ORDER BY list_cosine_similarity(embedding, q_emb) DESC, "
+    "vec_id LIMIT 10")
 
 
 _SIMHASH_BITSUMS = ", ".join(
@@ -621,10 +694,20 @@ def oracle_sql() -> dict[str, str]:
             f"JOIN read_parquet('{_FIXTURES}/golden_parse_stats_sf001"
             ".parquet') g USING (doc_id)"),
         "minhash_lsh_pairs": _LSH_ORACLE,
+        "cosine_dupes_lsh": _COSINE_DUPES_LSH_ORACLE,
+        "ann_lsh_topk": _ANN_LSH_ORACLE,
         "media_decode": oracle_cte(_MEDIA_ORACLE_BODY),
         "frame_sample": oracle_cte(_FRAME_ORACLE_BODY),
         "simhash": _SIMHASH_ORACLE,
         "winnowing": _WINNOWING_ORACLE,
+        "json_meta": (
+            "WITH j AS (SELECT doc_id, to_json(struct_pack("
+            "lang := lang, n := CAST(n_chars AS BIGINT), "
+            "source := source)) AS meta FROM documents) "
+            "SELECT doc_id, meta, "
+            "json_extract_string(meta, '$.lang') AS lang_x, "
+            "CAST(json_extract(meta, '$.n') AS BIGINT) AS n_x, "
+            "json_extract_string(meta, '$.source') AS source_x FROM j"),
         "ngram_jaccard": _NGRAM_JACCARD_ORACLE,
         # clean_corpus = SQL pipeline over the golden extraction spans
         "clean_corpus": (

@@ -78,13 +78,22 @@ def cosine_topk_scores(embeddings: DataFrame, query_vec_id: int = 0,
 
 
 def srp_buckets(embeddings: DataFrame, *, n_planes: int = 8,
-                dim: int = 64) -> DataFrame:
+                dim: int = 64, hash_fn: str = "xxhash64") -> DataFrame:
     """Signed-random-projection bucket per vector: n_planes sign bits.
 
     Deterministic hyperplanes: plane p, dim d weight =
-    (xxhash64(p:d) % 1001 - 500) / 500.0 — reproducible on any engine, no
+    (hash(p:d) % 1001 - 500) / 500.0 — reproducible on any engine, no
     model artifact to ship.  Returns (vec_id, bucket:string).
+
+    ``hash_fn``: "xxhash64" (default) or "md5_32" — the 32-bit
+    md5-prefix hash any SQL engine can recompute, enabling exact DuckDB
+    oracles for the bucketed similarity queries.
     """
+    if hash_fn == "md5_32":
+        def plane_hash(s):
+            return F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+    else:
+        plane_hash = F.xxhash64
     emb = F.col("embedding")
     bits = []
     for p in range(n_planes):
@@ -97,7 +106,7 @@ def srp_buckets(embeddings: DataFrame, *, n_planes: int = 8,
                 F.transform(
                     F.sequence(F.lit(0), F.lit(dim - 1)),
                     lambda d: (
-                        (F.xxhash64(F.concat_ws(
+                        (plane_hash(F.concat_ws(
                             ":", F.lit(str(p)), d.cast("string")))
                          % 1001 - 500) / 500.0
                     ),
@@ -114,7 +123,8 @@ def srp_buckets(embeddings: DataFrame, *, n_planes: int = 8,
 
 def cosine_dup_pairs(embeddings: DataFrame, *, threshold: float = 0.95,
                      exact_below: int | None = None,
-                     n_planes: int = 6, dim: int = 64) -> DataFrame:
+                     n_planes: int = 6, dim: int = 64,
+                     hash_fn: str = "xxhash64") -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (vec_a, vec_b, cos).
 
     Scale path: SRP-bucket self-join (candidates share all n_planes sign
@@ -129,7 +139,8 @@ def cosine_dup_pairs(embeddings: DataFrame, *, threshold: float = 0.95,
         pairs = (a.crossJoin(b)
                  .where(F.col("a.vec_id") < F.col("b.vec_id")))
     else:
-        buckets = srp_buckets(embeddings, n_planes=n_planes, dim=dim)
+        buckets = srp_buckets(embeddings, n_planes=n_planes, dim=dim,
+                              hash_fn=hash_fn)
         be = embeddings.join(buckets, "vec_id")
         a = be.alias("a")
         b = be.alias("b")
@@ -150,7 +161,8 @@ def cosine_dup_pairs(embeddings: DataFrame, *, threshold: float = 0.95,
 
 def ann_lsh_topk(embeddings: DataFrame, query_vec_id: int = 0,
                  k: int = 10, *, n_planes: int = 6,
-                 dim: int = 64, probe_bits: int = 1) -> DataFrame:
+                 dim: int = 64, probe_bits: int = 1,
+                 hash_fn: str = "xxhash64") -> DataFrame:
     """ANN: restrict the exact cosine to the query's SRP bucket(s), then
     re-rank.  At scale the bucket join replaces the full-corpus scan with
     ~candidates/2^n_planes per probe; recall tunes via n_planes and
@@ -167,7 +179,8 @@ def ann_lsh_topk(embeddings: DataFrame, query_vec_id: int = 0,
     """
     from itertools import combinations
 
-    buckets = srp_buckets(embeddings, n_planes=n_planes, dim=dim)
+    buckets = srp_buckets(embeddings, n_planes=n_planes, dim=dim,
+                          hash_fn=hash_fn)
     qb = buckets.where(F.col("vec_id") == query_vec_id) \
                 .select(F.col("bucket").alias("q_bucket"))
     if probe_bits > 0:

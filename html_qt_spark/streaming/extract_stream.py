@@ -61,3 +61,57 @@ def stream_extract(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+METRICS_SCHEMA = T.StructType([
+    T.StructField("event_time", T.TimestampType()),
+    T.StructField("doc_id", T.StringType()),
+    T.StructField("n_spans", T.IntegerType()),
+])
+
+
+def stream_windowed_metrics(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    *,
+    window_dur: str = "10 minutes",
+    watermark: str = "10 minutes",
+    query_name: str = "span_metrics",
+) -> StreamingQuery:
+    """Event-time tumbling-window throughput metrics with a watermark.
+
+    The batch pipeline records per-partition metrics
+    (plans/pipeline.py); a live crawl wants them as a rolling stream:
+    tumbling ``window_dur`` windows over ingest event time, counting
+    docs/spans per window.  The ``watermark`` bounds state AND late
+    data: a metrics row arriving more than ``watermark`` behind the
+    stream's max event time is dropped, and a window only finalizes
+    (append mode) once the watermark passes its end — which is what
+    bounds state size on an unbounded 10^12-doc crawl feed.
+
+    File-source stream of METRICS_SCHEMA parquet; memory sink under
+    ``query_name`` (tests/dashboards); one file per trigger so
+    watermark advancement across micro-batches is deterministic.
+    """
+    from pyspark.sql import functions as F
+
+    stream = (spark.readStream.schema(METRICS_SCHEMA)
+              .option("maxFilesPerTrigger", 1)
+              .option("latestFirst", "false")
+              .option("recursiveFileLookup", "true")
+              .parquet(input_dir))
+    agg = (
+        stream.withWatermark("event_time", watermark)
+        .groupBy(F.window("event_time", window_dur).alias("w"))
+        .agg(F.count("*").alias("n_docs"),
+             F.sum("n_spans").cast("long").alias("n_spans"))
+        .select(F.col("w.start").alias("w_start"), "n_docs", "n_spans")
+    )
+    return (agg.writeStream
+            .format("memory")
+            .queryName(query_name)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start())

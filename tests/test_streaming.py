@@ -80,3 +80,53 @@ def test_stateful_stream_dedup_across_batches(spark, tmp_path):
     rows = spark.read.parquet(out_dir).collect()
     texts = sorted(r.text for r in rows)
     assert texts == ["alpha", "beta", "gamma"]  # beta NOT re-emitted
+
+
+def test_windowed_metrics_watermark_drops_late_rows(spark, tmp_path):
+    """Watermarked tumbling-window agg (event-time): a row arriving more
+    than the watermark behind the max seen event time is dropped, and a
+    window only finalizes once the watermark passes it (append mode)."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from html_qt_spark.streaming.extract_stream import (
+        METRICS_SCHEMA, stream_windowed_metrics)
+
+    in_dir = tmp_path / "metrics_in"
+    in_dir.mkdir()
+
+    def write_file(name, rows):
+        df = spark.createDataFrame(rows, METRICS_SCHEMA)
+        df.coalesce(1).write.parquet(str(in_dir / name))
+        _time.sleep(1.1)  # distinct mtimes: file source processes oldest first
+
+    from datetime import datetime
+    t = datetime(2026, 1, 1, 10, 0, 0)
+
+    def ts(minute):
+        return t.replace(minute=minute)
+
+    # trigger 1: window [10:00,10:10) gets 2 docs; max event time 10:05
+    write_file("f1", [(ts(0), "a", 3), (ts(5), "b", 4)])
+    # trigger 2: window [10:30,10:40) — watermark advances to 10:25
+    write_file("f2", [(ts(35), "c", 5)])
+    # trigger 3: watermark 10:25 is now ACTIVE (it lags one micro-batch);
+    # the 10:00 window finalizes and its state evicts after this batch
+    write_file("f3", [(ts(36), "d", 6)])
+    # trigger 4: LATE row for the already-finalized 10:00 window
+    # (10:01 << watermark 10:26) — must be dropped, not double-counted
+    write_file("f4", [(ts(1), "late", 99)])
+
+    q = stream_windowed_metrics(
+        spark, str(in_dir), str(tmp_path / "metrics_ckpt"),
+        query_name="span_metrics_t")
+    q.awaitTermination(300)
+
+    emitted = spark.sql("SELECT * FROM span_metrics_t").collect()
+    rows = {r.w_start.minute: (r.n_docs, r.n_spans) for r in emitted}
+    # the 10:00 window finalized exactly once, with ONLY the on-time rows
+    assert rows[0] == (2, 7)
+    assert sum(1 for r in emitted if r.w_start.minute == 0) == 1
+    # the 10:30 window never finalized (stream ended before its watermark)
+    assert 30 not in rows
