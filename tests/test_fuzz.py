@@ -17,7 +17,11 @@ from html_qt_spark.kernel.treebuilder import parse
 
 TAGS = ["div", "p", "b", "i", "a", "ul", "li", "table", "tr", "td",
         "span", "h1", "em", "form", "select", "option", "script",
-        "style", "title", "textarea", "pre", "br", "img", "nav"]
+        "style", "title", "textarea", "pre", "br", "img", "nav",
+        # r2: foreign content, integration points, frameset, template —
+        # the new tokenizer fstack / compat / EOF paths
+        "svg", "math", "foreignObject", "mi", "mtext", "annotation-xml",
+        "template", "frameset", "frame", "noframes", "desc", "g", "font"]
 WORDS = ["alpha", "beta", "gamma", "&amp;", "&#65;", "&unknown;", "<",
          ">", "&", "\u00e9", "\U0001F600", "x" * 50]
 
@@ -41,8 +45,15 @@ def _gen_html(rng: random.Random, depth: int = 0) -> str:
             parts.append(f"</{rng.choice(TAGS)}>")  # stray close
         elif r < 0.8:
             parts.append(f"<!-- {rng.choice(WORDS)} -->")
-        elif r < 0.9:
+        elif r < 0.85:
             parts.append(f"<img src=m://{rng.randint(0, 99)}>")
+        elif r < 0.92:
+            parts.append(rng.choice([
+                "<![CDATA[cd<ata]]>",
+                '<svg xlink:href="u" xml:lang="en">',
+                "<font color=red>", "</svg>", "</math>",
+                "<annotation-xml encoding=text/html>",
+            ]))
         else:
             parts.append("<!DOCTYPE html>")
     return "".join(parts)
