@@ -28,7 +28,12 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from html_qt_spark.operators.extract import QUARANTINE_KIND, extract_spans_doc
+from html_qt_spark.operators.extract import (
+    QUARANTINE_KIND,
+    chunk_split_exploded,
+    extract_spans_doc,
+    extract_spans_exploded,
+)
 
 
 def _write(df: DataFrame, path: str, mode: str = "append") -> None:
@@ -45,6 +50,7 @@ def run_extraction_job(
     resume: bool = False,
     partitions: int | None = None,
     max_span_bytes: int | None = 16_000_000,
+    mega_doc_bytes: int | None = None,
     input_snapshot_id: str = "parquet-sandbox",
 ) -> dict:
     """Run the flagship extraction with lineage + resume.
@@ -52,6 +58,14 @@ def run_extraction_job(
     Partitioning (north_rule): repartition by xxhash64(doc_id) so doc
     placement is uniform and deterministic; ``partitions`` defaults to
     2x parallelism.  The extraction itself adds no shuffle.
+
+    ``mega_doc_bytes``: optional skew escape hatch — documents whose
+    total span bytes exceed it leave the zero-shuffle doc path and take
+    the exploded + chunk-split route (per-span parallelism, oversized
+    spans split at block boundaries), so one 1-GB document cannot stall
+    a task.  The split predicate is a JVM aggregate over the spans
+    array; the mega subset is a vanishing fraction of a crawl, so the
+    common path stays a narrow map.
     """
     run_id = run_id or uuid.uuid4().hex[:12]
     sc = spark.sparkContext
@@ -73,7 +87,27 @@ def run_extraction_job(
         partitions, F.pmod(F.xxhash64("doc_id"), F.lit(partitions)))
 
     t0 = time.time()
-    out = extract_spans_doc(nested, max_span_bytes=max_span_bytes)
+    if mega_doc_bytes:
+        doc_bytes = F.aggregate(
+            F.col("spans"), F.lit(0).cast("long"),
+            lambda acc, s: acc + F.coalesce(F.length(s["text"]),
+                                            F.lit(0)).cast("long"))
+        sized = nested.withColumn("_doc_bytes", doc_bytes)
+        small = sized.where(F.col("_doc_bytes") <= mega_doc_bytes) \
+            .drop("_doc_bytes")
+        mega_exploded = (
+            sized.where(F.col("_doc_bytes") > mega_doc_bytes)
+            .select("doc_id", F.explode("spans").alias("s"))
+            .select("doc_id", F.col("s.offset").alias("offset"),
+                    F.col("s.kind").alias("kind"),
+                    F.col("s.text").alias("text"),
+                    F.col("s.media_ref").alias("media_ref")))
+        out = extract_spans_doc(small, max_span_bytes=max_span_bytes) \
+            .unionByName(extract_spans_exploded(
+                chunk_split_exploded(mega_exploded,
+                                     threshold_bytes=mega_doc_bytes)))
+    else:
+        out = extract_spans_doc(nested, max_span_bytes=max_span_bytes)
     # one pass, cached at the partition boundary so the three sinks below
     # don't re-run the kernel
     out = out.persist()

@@ -88,3 +88,32 @@ def test_resume_no_duplicates(spark, tmp_path):
     res3 = run_extraction_job(spark, nested, out_dir, resume=True,
                               max_span_bytes=None)
     assert res3["docs_out"] == 0
+
+
+def test_mega_doc_routing_matches_doc_mode(spark, tmp_path):
+    """mega_doc_bytes routes oversized docs through the exploded +
+    chunk-split path; output spans must equal the pure doc-mode run."""
+    from html_qt_spark.plans.pipeline import run_extraction_job
+    from html_qt_spark.sources.interleaved import interleaved_nested
+
+    from pyspark.sql import functions as F
+
+    # deterministic subset (limit() without order may differ across
+    # actions, and the two runs must see the identical doc set)
+    nested = (interleaved_nested(spark, SF)
+              .where(F.col("doc_id").cast("long") < 120).cache())
+    nested.count()
+
+    r_doc = run_extraction_job(
+        spark, nested, str(tmp_path / "doc_mode"), run_id="r_doc")
+    r_mega = run_extraction_job(
+        spark, nested, str(tmp_path / "mega_mode"), run_id="r_mega",
+        mega_doc_bytes=700)  # low threshold: many docs take the mega path
+
+    a = (spark.read.parquet(str(tmp_path / "doc_mode/spans"))
+         .orderBy("doc_id", "span_idx").collect())
+    b = (spark.read.parquet(str(tmp_path / "mega_mode/spans"))
+         .orderBy("doc_id", "span_idx").collect())
+    assert a == b
+    assert r_doc["docs_out"] == r_mega["docs_out"]
+    assert r_mega["quarantined"] == 0
