@@ -37,6 +37,9 @@ def main() -> None:
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--partitions", type=int, default=None)
     ap.add_argument("--max-span-bytes", type=int, default=16_000_000)
+    ap.add_argument("--mega-doc-bytes", type=int, default=None,
+                    help="docs above this total span size take the "
+                         "exploded + chunk-split skew path")
     ap.add_argument("--replication", type=int, default=1)
     args = ap.parse_args()
 
@@ -59,6 +62,7 @@ def main() -> None:
         resume=args.resume,
         partitions=args.partitions,
         max_span_bytes=args.max_span_bytes,
+        mega_doc_bytes=args.mega_doc_bytes,
     )
     print(json.dumps(result))
     spark.stop()
