@@ -92,6 +92,81 @@ _IN_BODY_SPECIAL_END = (
     | _P_CLOSERS | _HEADINGS | FORMATTING
 )
 
+# WHATWG 13.2.6.4.1 quirks-mode doctype tables (compared lowercase)
+_QUIRKS_PUBLIC_EXACT = frozenset(s.lower() for s in (
+    "-//W3O//DTD W3 HTML Strict 3.0//EN//",
+    "-/W3C/DTD HTML 4.0 Transitional/EN",
+    "HTML",
+))
+_QUIRKS_PUBLIC_PREFIXES = tuple(s.lower() for s in (
+    "+//Silmaril//dtd html Pro v0r11 19970101//",
+    "-//AS//DTD HTML 3.0 asWedit + extensions//",
+    "-//AdvaSoft Ltd//DTD HTML 3.0 asWedit + extensions//",
+    "-//IETF//DTD HTML 2.0 Level 1//",
+    "-//IETF//DTD HTML 2.0 Level 2//",
+    "-//IETF//DTD HTML 2.0 Strict Level 1//",
+    "-//IETF//DTD HTML 2.0 Strict Level 2//",
+    "-//IETF//DTD HTML 2.0 Strict//",
+    "-//IETF//DTD HTML 2.0//",
+    "-//IETF//DTD HTML 2.1E//",
+    "-//IETF//DTD HTML 3.0//",
+    "-//IETF//DTD HTML 3.2 Final//",
+    "-//IETF//DTD HTML 3.2//",
+    "-//IETF//DTD HTML 3//",
+    "-//IETF//DTD HTML Level 0//",
+    "-//IETF//DTD HTML Level 1//",
+    "-//IETF//DTD HTML Level 2//",
+    "-//IETF//DTD HTML Level 3//",
+    "-//IETF//DTD HTML Strict Level 0//",
+    "-//IETF//DTD HTML Strict Level 1//",
+    "-//IETF//DTD HTML Strict Level 2//",
+    "-//IETF//DTD HTML Strict Level 3//",
+    "-//IETF//DTD HTML Strict//",
+    "-//IETF//DTD HTML//",
+    "-//Metrius//DTD Metrius Presentational//",
+    "-//Microsoft//DTD Internet Explorer 2.0 HTML Strict//",
+    "-//Microsoft//DTD Internet Explorer 2.0 HTML//",
+    "-//Microsoft//DTD Internet Explorer 2.0 Tables//",
+    "-//Microsoft//DTD Internet Explorer 3.0 HTML Strict//",
+    "-//Microsoft//DTD Internet Explorer 3.0 HTML//",
+    "-//Microsoft//DTD Internet Explorer 3.0 Tables//",
+    "-//Netscape Comm. Corp.//DTD HTML//",
+    "-//Netscape Comm. Corp.//DTD Strict HTML//",
+    "-//O'Reilly and Associates//DTD HTML 2.0//",
+    "-//O'Reilly and Associates//DTD HTML Extended 1.0//",
+    "-//O'Reilly and Associates//DTD HTML Extended Relaxed 1.0//",
+    "-//SQ//DTD HTML 2.0 HoTMetaL + extensions//",
+    "-//SoftQuad Software//DTD HoTMetaL PRO 6.0::19990601::"
+    "extensions to HTML 4.0//",
+    "-//SoftQuad//DTD HoTMetaL PRO 4.0::19971010::"
+    "extensions to HTML 4.0//",
+    "-//Spyglass//DTD HTML 2.0 Extended//",
+    "-//Sun Microsystems Corp.//DTD HotJava HTML//",
+    "-//Sun Microsystems Corp.//DTD HotJava Strict HTML//",
+    "-//W3C//DTD HTML 3 1995-03-24//",
+    "-//W3C//DTD HTML 3.2 Draft//",
+    "-//W3C//DTD HTML 3.2 Final//",
+    "-//W3C//DTD HTML 3.2//",
+    "-//W3C//DTD HTML 3.2S Draft//",
+    "-//W3C//DTD HTML 4.0 Frameset//",
+    "-//W3C//DTD HTML 4.0 Transitional//",
+    "-//W3C//DTD HTML Experimental 19960712//",
+    "-//W3C//DTD HTML Experimental 970421//",
+    "-//W3C//DTD W3 HTML//",
+    "-//W3O//DTD W3 HTML 3.0//",
+    "-//WebTechs//DTD Mozilla HTML 2.0//",
+    "-//WebTechs//DTD Mozilla HTML//",
+))
+# quirks only when the SYSTEM id is absent; limited-quirks when present
+_QUIRKS_NO_SYSTEM_PREFIXES = tuple(s.lower() for s in (
+    "-//W3C//DTD HTML 4.01 Frameset//",
+    "-//W3C//DTD HTML 4.01 Transitional//",
+))
+_LIMITED_QUIRKS_PREFIXES = tuple(s.lower() for s in (
+    "-//W3C//DTD XHTML 1.0 Frameset//",
+    "-//W3C//DTD XHTML 1.0 Transitional//",
+))
+
 MARKER = -1  # active-formatting-elements scope marker
 
 # Open-elements depth cap (browsers cap DOM depth similarly; WebKit uses
@@ -875,16 +950,28 @@ class TreeBuilder:
             self._err("unexpected-doctype")
             return
         # HTMLInitialPhase::processDoctype (html-qt/htmlinitialphase.cpp:41-66)
+        # + the full WHATWG quirks determination (13.2.6.4.1) the
+        # reference truncates to the html/about:legacy-compat check
         _, name, public, system, correct = tok
         self.doctype = (name, public, system)
         nid = self._new_node("#doctype", text=name or "")
         self._append(nid, 0)
-        # quirks determination (html/about:legacy-compat check mirrors
-        # html-qt/htmlinitialphase.cpp:47-51; full public-id prefix table
-        # omitted — it does not affect span extraction)
-        if not correct or name != "html":
-            self._err("unknown-doctype")
+        pub = (public or "").lower()
+        sysid = (system or "").lower()
+        if (not correct or name != "html"
+                or pub in _QUIRKS_PUBLIC_EXACT
+                or sysid == ("http://www.ibm.com/data/dtd/v11/"
+                             "ibmxhtml1-transitional.dtd")
+                or pub.startswith(_QUIRKS_PUBLIC_PREFIXES)
+                or (system is None
+                    and pub.startswith(_QUIRKS_NO_SYSTEM_PREFIXES))):
+            if not correct or name != "html":
+                self._err("unknown-doctype")
             self.quirks_mode = "quirks"
+        elif (pub.startswith(_LIMITED_QUIRKS_PREFIXES)
+              or (system is not None
+                  and pub.startswith(_QUIRKS_NO_SYSTEM_PREFIXES))):
+            self.quirks_mode = "limited-quirks"
         self.mode = "before_html"
 
     # ------------------------------------------------------------ initial

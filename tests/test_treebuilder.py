@@ -59,3 +59,47 @@ def test_malformed_never_raises():
     for doc in bad:
         tb = parse(doc)
         assert tb.tag[0] == "#document"
+
+
+def test_quirks_mode_determination():
+    """Full WHATWG 13.2.6.4.1 doctype quirks tables (the reference only
+    checks name/about:legacy-compat, htmlinitialphase.cpp:47-51)."""
+    cases = [
+        ("<!DOCTYPE html><p>x", "no-quirks"),
+        ('<!DOCTYPE html SYSTEM "about:legacy-compat"><p>x', "no-quirks"),
+        ("<p>x", "quirks"),                       # no doctype at all
+        ("<!DOCTYPE foo><p>x", "quirks"),         # wrong name
+        ('<!DOCTYPE html PUBLIC "-//W3C//DTD HTML 4.0 Transitional//EN">',
+         "quirks"),                               # prefix table
+        ('<!DOCTYPE html PUBLIC "-//IETF//DTD HTML 2.0//EN">', "quirks"),
+        ('<!DOCTYPE html PUBLIC "html">', "quirks"),  # exact match, ci
+        ('<!DOCTYPE html PUBLIC "-//W3C//DTD HTML 4.01 Transitional//EN">',
+         "quirks"),                               # no system id -> quirks
+        ('<!DOCTYPE html PUBLIC "-//W3C//DTD HTML 4.01 Transitional//EN" '
+         '"http://www.w3.org/TR/html4/loose.dtd">',
+         "limited-quirks"),                       # system id -> limited
+        ('<!DOCTYPE html PUBLIC "-//W3C//DTD XHTML 1.0 Transitional//EN" '
+         '"http://www.w3.org/TR/xhtml1/DTD/xhtml1-transitional.dtd">',
+         "limited-quirks"),
+        ('<!DOCTYPE html SYSTEM '
+         '"http://www.ibm.com/data/dtd/v11/ibmxhtml1-transitional.dtd">',
+         "quirks"),                               # ibm system id
+    ]
+    for html, want in cases:
+        tb = parse(html)
+        got = tb.quirks_mode or "no-quirks"
+        assert got == want, f"{html!r}: got {got}, want {want}"
+
+
+def test_quirks_affects_table_p_closing():
+    # in quirks mode <table> does NOT close an open <p> (spec condition
+    # in the in-body table handler)
+    no_quirks = parse("<!DOCTYPE html><p>a<table><tr><td>b</table>")
+    quirks = parse("<p>a<table><tr><td>b</table>")
+
+    def p_children(tb):
+        pid = next(i for i in range(len(tb.tag)) if tb.tag[i] == "p")
+        return [tb.tag[c] for c in tb.children[pid]]
+
+    assert "table" not in p_children(no_quirks)
+    assert "table" in p_children(quirks)
