@@ -162,6 +162,7 @@ def extract_html(
     reference_compat: bool = False,
     max_link_density: float = 0.5,
     min_words: int = 1,
+    fragment_context: str | None = None,
 ) -> list[tuple[str, str | None, str | None]]:
     """One-shot: HTML string OR raw bytes -> ordered (kind, text,
     media_ref) spans.
@@ -175,7 +176,16 @@ def extract_html(
     if isinstance(html_text, (bytes, bytearray, memoryview)):
         from .encoding import decode_html
         html_text = decode_html(bytes(html_text))
-    tb = parse(html_text, reference_compat=reference_compat,
-               collect_errors=False)
+    if fragment_context is not None:
+        # innerHTML semantics: parse as the contents of the context
+        # element (a crawl storing table cells / option lists / svg
+        # islands extracts them with their real context, WHATWG 13.4)
+        from .treebuilder import parse_fragment
+        tb = parse_fragment(html_text, context=fragment_context,
+                            reference_compat=reference_compat,
+                            collect_errors=False)
+    else:
+        tb = parse(html_text, reference_compat=reference_compat,
+                   collect_errors=False)
     return extract_spans(tb, max_link_density=max_link_density,
                          min_words=min_words)

@@ -11,7 +11,10 @@ from __future__ import annotations
 from .treebuilder import TreeBuilder
 
 
-def serialize_tree(tb: TreeBuilder) -> str:
+def serialize_tree(tb: TreeBuilder, root: int = 0) -> str:
+    """Serialize the subtree under ``root`` (default: the document).
+    For fragments pass ``tb.fragment_root`` — the html5lib fragment
+    convention lists the context's children at top level."""
     lines: list[str] = []
 
     def walk(nid: int, depth: int) -> None:
@@ -33,6 +36,6 @@ def serialize_tree(tb: TreeBuilder) -> str:
         for ch in tb.children[nid]:
             walk(ch, depth + 1)
 
-    for ch in tb.children[0]:
+    for ch in tb.children[root]:
         walk(ch, 0)
     return "\n".join(lines)

@@ -262,6 +262,7 @@ class TreeBuilder:
         self.doctype: tuple | None = None
         self.errors: list[str] = []
         self.done = False
+        self.fragment_root = 0  # parse_fragment points this at its root
 
     # ------------------------------------------------------------ plumbing
 
@@ -1777,7 +1778,11 @@ class TreeBuilder:
         if self.tag[self._current()] == "colgroup":
             self.open_elements.pop()
             self.mode = "in_table"
-        return ws
+            return ws
+        # fragment case (no open colgroup): spec says parse error,
+        # ignore — consume the run so the dispatch loop makes progress
+        self._err("unexpected-char-in-column-group")
+        return ws + _non_ws_prefix(data[ws:])
 
     def _tag_in_column_group(self, tok: tuple) -> None:
         kind, name = tok[0], tok[1]
@@ -2150,6 +2155,76 @@ def _ws_prefix(data: str) -> int:
 def _non_ws_prefix(data: str) -> int:
     m = _NON_WS_PREFIX_RX.match(data)
     return m.end() if m else 0
+
+
+# context -> initial insertion mode, per the "reset the insertion mode
+# appropriately" algorithm evaluated with node = the context element
+# (fragment case, WHATWG 13.2.4.1 / 13.4 step 4)
+_FRAGMENT_MODE = {
+    "select": "in_select", "td": "in_cell", "th": "in_cell",
+    "tr": "in_row", "tbody": "in_table_body", "thead": "in_table_body",
+    "tfoot": "in_table_body", "caption": "in_caption",
+    "colgroup": "in_column_group", "table": "in_table",
+    "template": "in_template", "frameset": "in_frameset",
+    "html": "before_head",
+}
+
+
+def parse_fragment(html_text: str, *, context: str = "body",
+                   reference_compat: bool = False,
+                   collect_errors: bool = True) -> TreeBuilder:
+    """WHATWG 13.4 HTML fragment parsing (innerHTML semantics).
+
+    Parses ``html_text`` as the contents of a ``context`` element: the
+    tokenizer starts in the state the context dictates (RCDATA for
+    title/textarea, RAWTEXT for style/..., script data, PLAINTEXT,
+    foreign for svg/math), and tree construction starts in the insertion
+    mode the reset algorithm picks for the context.  The reference has
+    no fragment API (whole-document only, html-qt/htmlparser.cpp:51-58);
+    this is the engine extension that lets span-level HTML fragments
+    (e.g. a crawl that stores table cells or <option> lists) parse with
+    their real context semantics instead of as standalone documents.
+
+    Returns a TreeBuilder whose <html> root node's children are the
+    fragment; serialize with ``serialize_tree(tb, root=html_id)``.
+    """
+    from .tokenizer import RAWTEXT_ELEMENTS, RCDATA_ELEMENTS
+
+    tk = HTMLTokenizer(html_text, reference_compat=reference_compat,
+                       collect_errors=collect_errors)
+    ctx = context.lower()
+    tk.last_start_tag = ctx  # appropriate-end-tag matching in text states
+    if not reference_compat:
+        if ctx in RCDATA_ELEMENTS:
+            tk.state = tk._rcdata_state
+        elif ctx in RAWTEXT_ELEMENTS:
+            tk.state = tk._rawtext_state
+        elif ctx == "script":
+            tk.state = tk._script_data_state
+        elif ctx == "plaintext":
+            tk.state = tk._plaintext_state
+    if ctx in ("svg", "math"):
+        tk.fstack.append(ctx)
+        tk.cdata_ok = True
+    tokens, _errors = tk.run()
+
+    tb = TreeBuilder(reference_compat=reference_compat,
+                     collect_errors=collect_errors)
+    root = tb._new_node("html", attrs=[])
+    tb._append(root, 0)
+    tb.open_elements.append(root)
+    tb.fragment_root = root  # serialize/extract from here
+    tb.mode = _FRAGMENT_MODE.get(ctx, "in_body")
+    if ctx in ("svg", "math"):
+        # children of a foreign context parse as foreign content: give the
+        # dispatcher a foreign current node to route through (HTML
+        # breakout tags still escape to the html root, as in documents)
+        fid = tb._new_node(ctx, attrs=[], ns=ctx)
+        tb._append(fid, root)
+        tb.open_elements.append(fid)
+        tb.fragment_root = fid
+    tb.process(tokens)
+    return tb
 
 
 def parse(html_text: str, *, reference_compat: bool = False,

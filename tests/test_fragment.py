@@ -1,0 +1,81 @@
+"""WHATWG 13.4 fragment parsing (innerHTML semantics).
+
+The reference parses whole documents only (html-qt/htmlparser.cpp:51-58);
+``parse_fragment`` is the engine extension for span-level fragments that
+carry a context (table cells, option lists, RCDATA/script bodies, foreign
+islands).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from html_qt_spark.kernel.extractor import extract_html
+from html_qt_spark.kernel.serialize import serialize_tree
+from html_qt_spark.kernel.treebuilder import parse_fragment
+
+CASES = [
+    ("body", "<p>a<b>c",
+     '| <p>\n|   "a"\n|   <b>\n|     "c"'),
+    # RCDATA context: markup is literal text
+    ("title", "a<b>c</b>", '| "a<b>c</b>"'),
+    ("textarea", "x</p>y", '| "x</p>y"'),
+    # RAWTEXT / script-data contexts: no entity decoding, no tags
+    ("style", ".a{content:'<b>'}", '| ".a{content:\'<b>\'}"'),
+    ("script", "var a='<p>';", '| "var a=\'<p>\';"'),
+    # table-family contexts pick the right insertion mode
+    ("tr", "<td>a</td><td>b",
+     '| <td>\n|   "a"\n| <td>\n|   "b"'),
+    ("table", "<tr><td>x",
+     '| <tbody>\n|   <tr>\n|     <td>\n|       "x"'),
+    ("select", "<option>a<option>b",
+     '| <option>\n|   "a"\n| <option>\n|   "b"'),
+    ("ul", "<li>one<li>two",
+     '| <li>\n|   "one"\n| <li>\n|   "two"'),
+    # foreign context: children are foreign, integration points work
+    ("svg", "<circle r='1'/>t",
+     '| <svg circle>\n|   r="1"\n| "t"'),
+    ("math", "<mi>x</mi>",
+     '| <math mi>\n|   "x"'),
+]
+
+
+@pytest.mark.parametrize("ctx,data,expected", CASES,
+                         ids=[f"{c[0]}:{c[1][:20]}" for c in CASES])
+def test_fragment_trees(ctx, data, expected):
+    tb = parse_fragment(data, context=ctx)
+    got = serialize_tree(tb, root=tb.fragment_root)
+    assert got == expected, f"\n-- got --\n{got}\n-- want --\n{expected}"
+
+
+def test_fragment_extraction():
+    assert extract_html("<td>cell text</td><td>more</td>",
+                        fragment_context="tr") == [
+        ("text", "cell text", None), ("text", "more", None)]
+    # title fragment: content is one literal text span
+    assert extract_html("a <b>bold</b> c", fragment_context="title") == [
+        ("text", "a <b>bold</b> c", None)]
+    # document parse of the same td fragment loses the cells (loose td
+    # tags are ignored in body, texts merge): fragment parsing is what
+    # preserves them
+    doc_spans = extract_html("<td>cell text</td><td>more</td>")
+    assert doc_spans == [("text", "cell textmore", None)]
+
+
+def test_fragment_script_end_tag_matching():
+    # appropriate-end-tag matching uses the context name: "x" is script
+    # data ended by </script>; "y" continues as ordinary fragment content
+    tb = parse_fragment("x</script>y", context="script")
+    got = serialize_tree(tb, root=tb.fragment_root)
+    assert got == '| "xy"'
+    # without the context-aware last_start_tag, </script> would not
+    # terminate script data and the whole input would be one text node —
+    # prove the end tag really was consumed as a tag (no "</script>")
+    assert "</script>" not in got
+
+
+def test_fragment_never_crashes_on_garbage():
+    for ctx in ("body", "td", "select", "svg", "title", "template",
+                "frameset", "colgroup", "caption", "html", "head"):
+        tb = parse_fragment("</" * 20 + "\x00<p<b>&#xD800;", context=ctx)
+        assert tb.tag[0] == "#document"
