@@ -82,15 +82,9 @@ _HEADINGS = frozenset("h1 h2 h3 h4 h5 h6".split())
 
 _TABLE_CTX = frozenset("table tbody tfoot thead tr".split())
 
-# in-body start tags dispatch through the per-tag handler dict
-# _IN_BODY_START (built after the class body); anything not in the dict
-# takes the one-step ordinary-element path.  End tags keep a set
-# pre-check + short chain (far fewer special cases).
-_IN_BODY_SPECIAL_END = (
-    frozenset("""body html form p li dd dt applet marquee object br
-    template""".split())
-    | _P_CLOSERS | _HEADINGS | FORMATTING
-)
+# in-body start AND end tags dispatch through the per-tag handler dicts
+# _IN_BODY_START / _IN_BODY_END (built after the class body); anything
+# not in the dict takes the default path.
 
 # WHATWG 13.2.6.4.1 quirks-mode doctype tables (compared lowercase)
 _QUIRKS_PUBLIC_EXACT = frozenset(s.lower() for s in (
@@ -500,8 +494,9 @@ class TreeBuilder:
         full bounded algorithm (8 outer / 3 inner iterations) over the
         parent-pointer arrays."""
         # fast path: current node matches and is not in the AFE list
-        if (self.open_elements and self.tag[self._current()] == name
-                and not any(e != MARKER and e[0] == self._current()
+        if (self.open_elements
+                and self.tag[(cur := self.open_elements[-1])] == name
+                and not any(e != MARKER and e[0] == cur
                             for e in self.active_formatting)):
             self.open_elements.pop()
             return
@@ -1478,103 +1473,104 @@ class TreeBuilder:
             handler(self, tok, name, list(tok[2]))
             return
 
-        # ---- end tags in body
-        if name not in _IN_BODY_SPECIAL_END:
+        # ---- end tags in body: same per-tag dict dispatch as start tags
+        handler = _IN_BODY_END.get(name)
+        if handler is None:
             self._any_other_end_tag(name)
             return
-        if name == "body":
-            if not self._in_scope("body"):
-                self._err("unexpected-end-tag")
-                return
-            self.mode = "after_body"
+        handler(self, tok, name)
+
+    def _ibe_body(self, tok, name) -> None:
+        if not self._in_scope("body"):
+            self._err("unexpected-end-tag")
             return
-        if name == "html":
-            if not self._in_scope("body"):
-                self._err("unexpected-end-tag")
-                return
-            self.mode = "after_body"
-            self._process_token(tok)
+        self.mode = "after_body"
+
+    def _ibe_html(self, tok, name) -> None:
+        if not self._in_scope("body"):
+            self._err("unexpected-end-tag")
             return
-        if name in _P_CLOSERS and name != "p":
-            if not self._in_scope(name):
-                self._err("unexpected-end-tag")
-                return
-            self._generate_implied_end()
-            if self.tag[self._current()] != name:
-                self._err("end-tag-too-early")
-            self._pop_until(name)
+        self.mode = "after_body"
+        self._process_token(tok)
+
+    def _ibe_block(self, tok, name) -> None:
+        if not self._in_scope(name):
+            self._err("unexpected-end-tag")
             return
-        if name == "form":
-            node = self.form_id
-            self.form_id = -1
-            if node == -1 or node not in self.open_elements:
-                self._err("unexpected-end-tag")
-                return
-            self._generate_implied_end()
-            if self._current() != node:
-                self._err("end-tag-too-early-ignored")
-            self.open_elements.remove(node)
+        self._generate_implied_end()
+        if self.tag[self._current()] != name:
+            self._err("end-tag-too-early")
+        self._pop_until(name)
+
+    def _ibe_form(self, tok, name) -> None:
+        node = self.form_id
+        self.form_id = -1
+        if node == -1 or node not in self.open_elements:
+            self._err("unexpected-end-tag")
             return
-        if name == "p":
+        self._generate_implied_end()
+        if self._current() != node:
+            self._err("end-tag-too-early-ignored")
+        self.open_elements.remove(node)
+
+    def _ibe_p(self, tok, name) -> None:
+        if not self._in_button_scope("p"):
+            self._err("unexpected-end-tag")
+            self._insert_element("p", [])
             if not self._in_button_scope("p"):
-                self._err("unexpected-end-tag")
-                self._insert_element("p", [])
-                if not self._in_button_scope("p"):
-                    return  # MAX_DEPTH cap kept it off the stack
-            self._close_p()
+                return  # MAX_DEPTH cap kept it off the stack
+        self._close_p()
+
+    def _ibe_li(self, tok, name) -> None:
+        if not self._in_list_scope("li"):
+            self._err("unexpected-end-tag")
             return
-        if name == "li":
-            if not self._in_list_scope("li"):
-                self._err("unexpected-end-tag")
-                return
-            self._generate_implied_end(exclude="li")
-            if self.tag[self._current()] != "li":
-                self._err("end-tag-too-early")
-            self._pop_until("li")
+        self._generate_implied_end(exclude="li")
+        if self.tag[self._current()] != "li":
+            self._err("end-tag-too-early")
+        self._pop_until("li")
+
+    def _ibe_dd_dt(self, tok, name) -> None:
+        if not self._in_scope(name):
+            self._err("unexpected-end-tag")
             return
-        if name in ("dd", "dt"):
-            if not self._in_scope(name):
-                self._err("unexpected-end-tag")
-                return
-            self._generate_implied_end(exclude=name)
-            if self.tag[self._current()] != name:
-                self._err("end-tag-too-early")
-            self._pop_until(name)
+        self._generate_implied_end(exclude=name)
+        if self.tag[self._current()] != name:
+            self._err("end-tag-too-early")
+        self._pop_until(name)
+
+    def _ibe_heading(self, tok, name) -> None:
+        if not any(self._in_scope(h) for h in _HEADINGS):
+            self._err("unexpected-end-tag")
             return
-        if name in _HEADINGS:
-            if not any(self._in_scope(h) for h in _HEADINGS):
-                self._err("unexpected-end-tag")
-                return
-            self._generate_implied_end()
-            if self.tag[self._current()] != name:
-                self._err("end-tag-too-early")
-            while self.open_elements:
-                if self.tag[self.open_elements.pop()] in _HEADINGS:
-                    break
+        self._generate_implied_end()
+        if self.tag[self._current()] != name:
+            self._err("end-tag-too-early")
+        while self.open_elements:
+            if self.tag[self.open_elements.pop()] in _HEADINGS:
+                break
+
+    def _ibe_formatting(self, tok, name) -> None:
+        self._adoption_agency(name)
+
+    def _ibe_marker_container(self, tok, name) -> None:
+        if not self._in_scope(name):
+            self._err("unexpected-end-tag")
             return
-        if name in FORMATTING:
-            self._adoption_agency(name)
-            return
-        if name in ("applet", "marquee", "object"):
-            if not self._in_scope(name):
-                self._err("unexpected-end-tag")
-                return
-            self._generate_implied_end()
-            if self.tag[self._current()] != name:
-                self._err("end-tag-too-early")
-            self._pop_until(name)
-            self._clear_formatting_to_marker()
-            return
-        if name == "br":
-            self._err("unexpected-end-tag-treated-as")
-            self._reconstruct_formatting()
-            self._insert_element("br", [], push=False)
-            self.frameset_ok = False
-            return
-        if name == "template":
-            self._tag_in_head(tok)
-            return
-        self._any_other_end_tag(name)
+        self._generate_implied_end()
+        if self.tag[self._current()] != name:
+            self._err("end-tag-too-early")
+        self._pop_until(name)
+        self._clear_formatting_to_marker()
+
+    def _ibe_br(self, tok, name) -> None:
+        self._err("unexpected-end-tag-treated-as")
+        self._reconstruct_formatting()
+        self._insert_element("br", [], push=False)
+        self.frameset_ok = False
+
+    def _ibe_template(self, tok, name) -> None:
+        self._tag_in_head(tok)
 
     # --------------------------------------------------------- in template
 
@@ -2293,6 +2289,28 @@ def _build_in_body_start() -> dict:
 
 
 _IN_BODY_START = _build_in_body_start()
+
+
+def _build_in_body_end() -> dict:
+    tb = TreeBuilder
+    d: dict = {}
+    for n in _P_CLOSERS:
+        d[n] = tb._ibe_block
+    for n in _HEADINGS:
+        d[n] = tb._ibe_heading
+    for n in FORMATTING:
+        d[n] = tb._ibe_formatting
+    for n in ("applet", "marquee", "object"):
+        d[n] = tb._ibe_marker_container
+    d.update(
+        body=tb._ibe_body, html=tb._ibe_html, form=tb._ibe_form,
+        p=tb._ibe_p, li=tb._ibe_li, dd=tb._ibe_dd_dt, dt=tb._ibe_dd_dt,
+        br=tb._ibe_br, template=tb._ibe_template,
+    )
+    return d
+
+
+_IN_BODY_END = _build_in_body_end()
 
 
 # mode-name -> unbound handler dispatch tables (built once at import;
