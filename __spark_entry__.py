@@ -208,6 +208,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return similarity.cosine_dup_pairs(
             _emb(spark, sf), threshold=0.35, n_planes=4, hash_fn="md5_32")
 
+    def q_repetition(spark, sf):
+        return textstats.repetition_score(_docs(spark, sf))
+
+    def q_entropy(spark, sf):
+        return textstats.unigram_entropy(_docs(spark, sf))
+
     def q_json_meta(spark, sf):
         # JSON function surface: build (to_json) -> path-extract
         # (get_json_object) -> schema parse (from_json) roundtrip
@@ -255,6 +261,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_doc_parse_stats(spark, sf):
         from html_qt_spark.operators.extract import doc_parse_stats
         return doc_parse_stats(interleaved_nested(spark, sf))
+
+    def q_doc_metadata(spark, sf):
+        from html_qt_spark.operators.extract import doc_metadata
+        return doc_metadata(interleaved_nested(spark, sf))
 
     def q_clean_corpus(spark, sf):
         # composite training-data pipeline in ONE plan: extract ->
@@ -342,6 +352,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regex_tokens": q_regex_tokens,
         "cosine_dupes": q_cosine_dupes,
         "cosine_dupes_lsh": q_cosine_dupes_lsh,
+        "repetition": q_repetition,
+        "entropy": q_entropy,
         "json_meta": q_json_meta,
         "winnowing": q_winnowing,
         "extract_doc": q_extract_doc,
@@ -349,6 +361,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_compat": q_extract_compat,
         "extract_chunked": q_extract_chunked,
         "doc_parse_stats": q_doc_parse_stats,
+        "doc_metadata": q_doc_metadata,
         "clean_corpus": q_clean_corpus,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash": q_simhash,
@@ -693,6 +706,10 @@ def oracle_sql() -> dict[str, str]:
             "FROM interleaved_spans GROUP BY doc_id) c "
             f"JOIN read_parquet('{_FIXTURES}/golden_parse_stats_sf001"
             ".parquet') g USING (doc_id)"),
+        "doc_metadata": (
+            "SELECT doc_id, title, meta_description, canonical_url, lang "
+            f"FROM read_parquet('{_FIXTURES}/golden_doc_metadata_sf001"
+            ".parquet')"),
         "minhash_lsh_pairs": _LSH_ORACLE,
         "cosine_dupes_lsh": _COSINE_DUPES_LSH_ORACLE,
         "ann_lsh_topk": _ANN_LSH_ORACLE,
@@ -700,6 +717,30 @@ def oracle_sql() -> dict[str, str]:
         "frame_sample": oracle_cte(_FRAME_ORACLE_BODY),
         "simhash": _SIMHASH_ORACLE,
         "winnowing": _WINNOWING_ORACLE,
+        "repetition": (
+            "WITH ts AS (SELECT doc_id, list_filter(string_split(text, ' '), "
+            "x -> x <> '') AS toks FROM documents), "
+            "g AS (SELECT doc_id, unnest(list_transform("
+            "range(1, greatest(len(toks) - 3, 0) + 1), "
+            "i -> array_to_string(toks[i:i+3], ' '))) AS g FROM ts) "
+            "SELECT doc_id, count(*) AS n_grams, "
+            "count(DISTINCT g) AS n_distinct_grams, "
+            "CAST(floor(1000 * (1 - count(DISTINCT g) * 1.0 / count(*))) "
+            "AS BIGINT) AS rep_x1000 "
+            "FROM g GROUP BY doc_id"),
+        "entropy": (
+            "WITH toks AS (SELECT doc_id, "
+            "unnest(list_filter(string_split(text, ' '), x -> x <> '')) "
+            "AS tok FROM documents), "
+            "freqs AS (SELECT doc_id, tok, count(*) AS c FROM toks "
+            "GROUP BY doc_id, tok), "
+            "tot AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n "
+            "FROM freqs GROUP BY doc_id) "
+            "SELECT f.doc_id, max(t.n) AS n_tokens, "
+            "CAST(floor(round(sum(-(c * 1.0 / t.n) * ln(c * 1.0 / t.n)), 6)"
+            " * 1000) AS BIGINT) AS entropy_x1000 "
+            "FROM freqs f JOIN tot t ON f.doc_id = t.doc_id "
+            "GROUP BY f.doc_id"),
         "json_meta": (
             "WITH j AS (SELECT doc_id, to_json(struct_pack("
             "lang := lang, n := CAST(n_chars AS BIGINT), "

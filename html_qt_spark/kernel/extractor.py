@@ -156,6 +156,51 @@ def extract_spans(
     return spans
 
 
+def extract_metadata(tb: TreeBuilder) -> tuple[str | None, str | None,
+                                               str | None, str | None]:
+    """(title, meta_description, canonical_url, lang) from the DOM.
+
+    The head fields every crawl pipeline keeps alongside the body text:
+    <title> text, <meta name=description content>, <link rel=canonical
+    href>, and the root <html lang> attribute.  First occurrence wins
+    (document order); absent -> None.  Pure array walk, no regex over
+    raw HTML (a commented-out or script-embedded tag can never match).
+    """
+    tag = tb.tag
+    children = tb.children
+    attrs = tb.attrs
+    text = tb.text
+
+    title: str | None = None
+    description: str | None = None
+    canonical: str | None = None
+    lang: str | None = None
+
+    stack = [0]
+    while stack:
+        nid = stack.pop()
+        t = tag[nid]
+        if t == "html" and lang is None:
+            lang = next((v for k, v in (attrs[nid] or [])
+                         if k == "lang"), None)
+        elif t == "title" and title is None:
+            parts = [text[c] or "" for c in children[nid]
+                     if tag[c] == "#text"]
+            title = _norm("".join(parts)) or None
+        elif t == "meta" and description is None:
+            a = dict(attrs[nid] or [])
+            if a.get("name", "").lower() == "description":
+                description = a.get("content")
+        elif t == "link" and canonical is None:
+            a = dict(attrs[nid] or [])
+            if a.get("rel", "").lower() == "canonical":
+                canonical = a.get("href")
+        if title is None or description is None or canonical is None \
+                or lang is None:
+            stack.extend(reversed(children[nid]))
+    return title, description, canonical, lang
+
+
 def extract_html(
     html_text: str | bytes,
     *,

@@ -399,3 +399,62 @@ def extract_spans_exploded(df_exploded: DataFrame) -> DataFrame:
                     (F.row_number().over(w) - F.lit(1)).cast("int"))
         .select("doc_id", "span_idx", "kind", "text", "media_ref", "offset")
     )
+
+
+DOC_META_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.StringType()),
+    T.StructField("title", T.StringType()),
+    T.StructField("meta_description", T.StringType()),
+    T.StructField("canonical_url", T.StringType()),
+    T.StructField("lang", T.StringType()),
+])
+
+
+def doc_metadata(df: DataFrame) -> DataFrame:
+    """(doc_id, spans) -> per-document head metadata (title, meta
+    description, canonical link, html lang), first occurrence across the
+    document's text spans winning.  Same zero-shuffle narrow-map shape
+    as extraction; one row per input document (all-NULL when the
+    document carries no head metadata)."""
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from html_qt_spark.kernel.encoding import decode_html
+        from html_qt_spark.kernel.extractor import extract_metadata
+        from html_qt_spark.kernel.treebuilder import parse
+
+        for pdf in batches:
+            rows = {k: [] for k in ("doc_id", "title", "meta_description",
+                                    "canonical_url", "lang")}
+            for doc_id, s_kinds, s_texts in zip(
+                    pdf["doc_id"], pdf["_kinds"], pdf["_texts"]):
+                title = desc = canon = lang = None
+                if s_kinds is not None:
+                    for kind, html in zip(s_kinds, s_texts):
+                        if kind == "media" or not html:
+                            continue
+                        if None not in (title, desc, canon, lang):
+                            break
+                        if isinstance(html, (bytes, bytearray)):
+                            html = decode_html(bytes(html))
+                        try:
+                            t, d, c, lg = extract_metadata(parse(
+                                html, collect_errors=False))
+                        except Exception:  # noqa: BLE001 — poison pill
+                            continue
+                        title = title if title is not None else t
+                        desc = desc if desc is not None else d
+                        canon = canon if canon is not None else c
+                        lang = lang if lang is not None else lg
+                rows["doc_id"].append(doc_id)
+                rows["title"].append(title)
+                rows["meta_description"].append(desc)
+                rows["canonical_url"].append(canon)
+                rows["lang"].append(lang)
+            yield pd.DataFrame(rows)
+
+    flat = df.select(
+        "doc_id",
+        F.col("spans.kind").alias("_kinds"),
+        F.col("spans.text").alias("_texts"),
+    )
+    return flat.mapInPandas(process, schema=DOC_META_SCHEMA)

@@ -82,6 +82,67 @@ def lang_id(docs: DataFrame) -> DataFrame:
 BPE_ISH_PATTERN = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
 
 
+def repetition_score(docs: DataFrame, *, n: int = 4) -> DataFrame:
+    """(doc_id, n_grams, n_distinct_grams, rep_x1000): repetitiveness via
+    word n-gram duplication — the standard cheap gibberish/boilerplate
+    signal (Rae et al., Gopher 2021 repetition filters): a page whose
+    4-grams are mostly duplicates is templated or degenerate.  All
+    JVM-side; rep_x1000 = floor(1000 * (1 - distinct/total)) as an
+    integer so the DuckDB oracle matches bit-for-bit.  Docs with fewer
+    than n tokens emit no row (no grams to judge).
+    """
+    toks = docs.select(
+        "doc_id",
+        F.filter(F.split("text", " "), lambda t: t != "").alias("ts"),
+    )
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.slice("ts", 1, F.greatest(F.size("ts") - (n - 1),
+                                            F.lit(0))),
+                lambda _x, i: F.concat_ws(" ", F.slice("ts", i + 1, n)),
+            )
+        ).alias("g"),
+    )
+    return (
+        grams.groupBy("doc_id")
+        .agg(F.count("*").alias("n_grams"),
+             F.countDistinct("g").alias("n_distinct_grams"))
+        .select(
+            "doc_id", "n_grams", "n_distinct_grams",
+            F.floor(1000 * (1 - F.col("n_distinct_grams")
+                            / F.col("n_grams")))
+            .cast("long").alias("rep_x1000"),
+        )
+    )
+
+
+def unigram_entropy(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, entropy_x1000): Shannon entropy of the unigram
+    distribution — low-entropy docs are repetitive/templated, a standard
+    corpus-quality feature.  entropy = -sum(p ln p) over token
+    frequencies, scaled x1000 and floored to an integer for exact
+    cross-engine comparison (the inner sum is over <=vocab double terms;
+    floor after round(6) absorbs summation-order jitter)."""
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    freqs = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
+    totals = freqs.groupBy("doc_id").agg(F.sum("c").alias("n"))
+    return (
+        freqs.join(totals, "doc_id")
+        .groupBy("doc_id")
+        .agg(F.max("n").alias("n_tokens"),
+             F.sum(-(F.col("c") / F.col("n"))
+                   * F.log(F.col("c") / F.col("n"))).alias("h"))
+        .select("doc_id",
+                F.col("n_tokens").cast("long").alias("n_tokens"),
+                F.floor(F.round(F.col("h"), 6) * 1000)
+                .cast("long").alias("entropy_x1000"))
+    )
+
+
 def regex_token_count(docs: DataFrame) -> DataFrame:
     """(doc_id, n_regex_tokens): BPE-ish pre-tokenization count, JVM-side
     via regexp_count (no Python)."""

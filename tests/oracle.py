@@ -97,3 +97,33 @@ def oracle_extract(tb: TreeBuilder, *, max_link_density: float = 0.5,
         if blk.words >= min_words and blk.link_words / words <= max_link_density:
             spans.append(("text", text, None))
     return spans
+
+
+def oracle_metadata(tb: TreeBuilder) -> tuple:
+    """(title, meta_description, canonical_url, lang) via naive recursion —
+    independent counterpart of kernel.extractor.extract_metadata."""
+    found = {"title": None, "description": None, "canonical": None,
+             "lang": None}
+
+    def visit(nid: int) -> None:
+        t = tb.tag[nid]
+        a = dict(tb.attrs[nid] or [])
+        if t == "html" and found["lang"] is None and "lang" in a:
+            found["lang"] = a["lang"]
+        if t == "title" and found["title"] is None:
+            txt = "".join(tb.text[c] or "" for c in tb.children[nid]
+                          if tb.tag[c] == "#text")
+            txt = _WS.sub(" ", txt).strip()
+            found["title"] = txt or None
+        if (t == "meta" and found["description"] is None
+                and a.get("name", "").lower() == "description"):
+            found["description"] = a.get("content")
+        if (t == "link" and found["canonical"] is None
+                and a.get("rel", "").lower() == "canonical"):
+            found["canonical"] = a.get("href")
+        for ch in tb.children[nid]:
+            visit(ch)
+
+    visit(0)
+    return (found["title"], found["description"], found["canonical"],
+            found["lang"])

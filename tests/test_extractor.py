@@ -42,3 +42,44 @@ def test_empty_and_trivial_docs():
     assert extract_html("<!-- only a comment -->") == []
     assert extract_html("<script>x()</script>") == []
     assert extract_html("bare text") == [("text", "bare text", None)]
+
+
+def test_metadata_extraction_matches_oracle():
+    from html_qt_spark.kernel.extractor import extract_metadata
+    from html_qt_spark.kernel.treebuilder import parse as _parse
+    from tests.oracle import oracle_metadata
+
+    cases = [
+        '<html lang="en"><head><title>My  Page </title>'
+        '<meta name="Description" content="d text">'
+        '<link rel="canonical" href="https://x/y"></head><body>b</body>',
+        "<title>only title",
+        "<p>no head at all",
+        '<html lang=fr><meta name=description content="">'
+        "<title></title>",
+        "<head><title>a</title><title>b</title></head>",  # first wins
+        '<body><meta name="description" content="late meta in body">',
+        '<link rel="CANONICAL" href="u1"><link rel=canonical href="u2">',
+        '<!-- <title>commented</title> --><title>real</title>',
+        '<svg><title>svg title</title></svg><title>html title</title>',
+    ]
+    for html in cases:
+        tb = _parse(html)
+        assert extract_metadata(tb) == oracle_metadata(tb), html
+
+
+def test_metadata_fuzz_parity():
+    import random
+
+    from html_qt_spark.kernel.extractor import extract_metadata
+    from html_qt_spark.kernel.treebuilder import parse as _parse
+    from tests.oracle import oracle_metadata
+    from tests.test_fuzz import _gen_html, _mutate
+
+    for seed in range(40):
+        rng = random.Random(31_000_000 + seed)
+        html = _gen_html(rng)
+        if rng.random() < 0.5:
+            html = _mutate(rng, html)
+        tb = _parse(html)
+        assert extract_metadata(tb) == oracle_metadata(tb), repr(html[:120])

@@ -36,7 +36,7 @@ sys.path.insert(0, str(REPO))
 from html_qt_spark.kernel.tokenizer import HTMLTokenizer  # noqa: E402
 from html_qt_spark.kernel.treebuilder import TreeBuilder, parse  # noqa: E402
 from html_qt_spark.sources.interleaved import INTERLEAVED_SPANS_SQL  # noqa: E402
-from tests.oracle import oracle_extract  # noqa: E402
+from tests.oracle import oracle_extract, oracle_metadata  # noqa: E402
 
 SPANS_SCHEMA = pa.schema([
     ("doc_id", pa.string()),
@@ -45,6 +45,14 @@ SPANS_SCHEMA = pa.schema([
     ("text", pa.string()),
     ("media_ref", pa.string()),
     ("offset", pa.int32()),
+])
+
+META_SCHEMA = pa.schema([
+    ("doc_id", pa.string()),
+    ("title", pa.string()),
+    ("meta_description", pa.string()),
+    ("canonical_url", pa.string()),
+    ("lang", pa.string()),
 ])
 
 STATS_SCHEMA = pa.schema([
@@ -91,6 +99,30 @@ def golden_spans(rows: list[tuple], *, reference_compat: bool) -> dict:
             cols["media_ref"].append(m)
             cols["offset"].append(offset)
             idx += 1
+    return cols
+
+
+def golden_metadata(rows: list[tuple]) -> dict:
+    """Per-doc head metadata via the independent recursive extractor
+    (tests/oracle.py::oracle_metadata); first occurrence across the
+    doc's text spans wins."""
+    per_doc: dict[str, list] = {}
+    for doc_id, _offset, kind, text, _ref in rows:
+        acc = per_doc.setdefault(doc_id, [None, None, None, None])
+        if kind == "media" or not text or None not in acc:
+            continue
+        got = oracle_metadata(parse(text, collect_errors=False))
+        for i in range(4):
+            if acc[i] is None:
+                acc[i] = got[i]
+    cols = {k: [] for k in ("doc_id", "title", "meta_description",
+                            "canonical_url", "lang")}
+    for doc_id, (t, d, c, lg) in per_doc.items():
+        cols["doc_id"].append(doc_id)
+        cols["title"].append(t)
+        cols["meta_description"].append(d)
+        cols["canonical_url"].append(c)
+        cols["lang"].append(lg)
     return cols
 
 
@@ -144,6 +176,11 @@ def main() -> None:
     pq.write_table(pa.table(stats, schema=STATS_SCHEMA),
                    out_dir / "golden_parse_stats_sf001.parquet")
     print(f"golden_parse_stats_sf001.parquet: {len(stats['doc_id'])} rows")
+
+    meta = golden_metadata(rows)
+    pq.write_table(pa.table(meta, schema=META_SCHEMA),
+                   out_dir / "golden_doc_metadata_sf001.parquet")
+    print(f"golden_doc_metadata_sf001.parquet: {len(meta['doc_id'])} rows")
 
 
 if __name__ == "__main__":
