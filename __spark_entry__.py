@@ -289,6 +289,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_minhash_lsh_pairs(spark, sf):
         return dedup.minhash_lsh_pairs(_docs(spark, sf))
 
+    def q_dup_components(spark, sf):
+        # duplicate-cluster assignment: iterative min-label propagation
+        # over the LSH candidate graph (O(diameter) shuffle rounds)
+        return dedup.connected_components(
+            dedup.minhash_lsh_pairs(_docs(spark, sf)))
+
     def q_simhash(spark, sf):
         # 32-bit md5_32 family = exact DuckDB oracle; the 64-bit xxhash64
         # default is the production path (identical plan shape)
@@ -364,6 +370,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_metadata": q_doc_metadata,
         "clean_corpus": q_clean_corpus,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "dup_components": q_dup_components,
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -385,8 +392,8 @@ _LSH_BANDS = " UNION ALL ".join(
         b=b,
         expr=" || '|' || ".join(f"sig_{b * 4 + r}" for r in range(4)))
     for b in range(4))
-_LSH_ORACLE = (
-    "WITH ts AS (SELECT doc_id, list_filter(string_split(text, ' '), "
+_LSH_CTES = (
+    "ts AS (SELECT doc_id, list_filter(string_split(text, ' '), "
     "x -> x <> '') AS toks FROM documents), "
     "pos AS (SELECT doc_id, toks, "
     "unnest(range(1, greatest(len(toks) - 2, 0) + 1)) AS i FROM ts), "
@@ -396,10 +403,26 @@ _LSH_ORACLE = (
     f"buckets AS ({_LSH_BANDS}), "
     "ok AS (SELECT band, bucket FROM buckets GROUP BY band, bucket "
     "HAVING count(*) BETWEEN 2 AND 1000), "
-    "capped AS (SELECT b.* FROM buckets b JOIN ok USING (band, bucket)) "
+    "capped AS (SELECT b.* FROM buckets b JOIN ok USING (band, bucket))")
+_LSH_PAIRS_SELECT = (
     "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
     "FROM capped a JOIN capped b USING (band, bucket) "
     "WHERE a.doc_id < b.doc_id")
+_LSH_ORACLE = f"WITH {_LSH_CTES} {_LSH_PAIRS_SELECT}"
+
+# connected components over the LSH candidate pairs: exact transitive
+# closure via a recursive CTE (fine at oracle scale), min reachable
+# doc_id = component label — matches the Spark min-label propagation
+_COMPONENTS_ORACLE = (
+    f"WITH RECURSIVE {_LSH_CTES}, "
+    f"pairs AS ({_LSH_PAIRS_SELECT}), "
+    "edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs "
+    "UNION SELECT doc_b, doc_a FROM pairs), "
+    "reach(u, r) AS ("
+    "SELECT u, u FROM (SELECT DISTINCT u FROM edges) "
+    "UNION "
+    "SELECT r0.u, e.v FROM reach r0 JOIN edges e ON r0.r = e.u) "
+    "SELECT u AS doc_id, min(r) AS component_id FROM reach GROUP BY u")
 
 # media_decode oracle: recompute the deterministic decode entirely in SQL
 # from media_ref (the 31-bit polynomial hash h = fold(h*131 + ord(c)))
@@ -711,6 +734,7 @@ def oracle_sql() -> dict[str, str]:
             f"FROM read_parquet('{_FIXTURES}/golden_doc_metadata_sf001"
             ".parquet')"),
         "minhash_lsh_pairs": _LSH_ORACLE,
+        "dup_components": _COMPONENTS_ORACLE,
         "cosine_dupes_lsh": _COSINE_DUPES_LSH_ORACLE,
         "ann_lsh_topk": _ANN_LSH_ORACLE,
         "media_decode": oracle_cte(_MEDIA_ORACLE_BODY),

@@ -210,3 +210,53 @@ def ngram_jaccard_pairs(docs: DataFrame, *, n: int = 3,
         )
         .where(F.col("jaccard") >= min_jaccard)
     )
+
+
+def connected_components(pairs: DataFrame, *, max_iter: int = 20
+                         ) -> DataFrame:
+    """(doc_a, doc_b) candidate-pair edges -> (doc_id, component_id):
+    duplicate-cluster assignment, component_id = min doc_id reachable.
+
+    Min-label propagation: every vertex repeatedly takes the minimum
+    label among itself and its neighbors; one shuffle round (join +
+    groupBy) per iteration, converging in O(component diameter) rounds.
+    Near-duplicate components are dense near-cliques (every member
+    collided with most others in some LSH band), so 2-3 rounds close
+    them; ``max_iter`` bounds adversarial chain graphs.  The per-round
+    driver-side convergence check is one count() — an iterative
+    algorithm's control loop, not per-row driver work.  For graphs with
+    genuinely large diameters swap in large-star/small-star
+    (Kiveris et al., COSS 2014) — same join primitives.
+
+    Output: one row per vertex that appears in any edge.  Downstream
+    dedup keeps component_id == doc_id rows (the canonical member) and
+    drops the rest.
+    """
+    fwd = pairs.select(F.col("doc_a").alias("src"),
+                       F.col("doc_b").alias("dst"))
+    edges = fwd.union(
+        fwd.select(F.col("dst").alias("src"),
+                   F.col("src").alias("dst"))).localCheckpoint()
+    labels = (edges.select(F.col("src").alias("vid")).distinct()
+              .withColumn("label", F.col("vid")).localCheckpoint())
+    for _ in range(max_iter):
+        nbr_min = (edges.join(labels, edges.dst == labels.vid)
+                   .groupBy("src")
+                   .agg(F.min("label").alias("nbr_label")))
+        # localCheckpoint truncates lineage each round: the iterative
+        # self-joins would otherwise trip ambiguous-column analysis AND
+        # grow the plan exponentially with the iteration count
+        new_labels = (
+            labels.join(nbr_min, labels.vid == nbr_min.src, "left")
+            .select(F.col("vid"),
+                    F.least(F.col("label"),
+                            F.coalesce("nbr_label", F.col("label")))
+                    .alias("label"))).localCheckpoint()
+        changed = (new_labels.withColumnRenamed("label", "new_label")
+                   .join(labels, "vid")
+                   .where(F.col("new_label") != F.col("label")).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("vid").alias("doc_id"),
+                         F.col("label").alias("component_id"))

@@ -88,3 +88,31 @@ def test_ngram_jaccard_still_correct(spark):
     # docs 1,2 share shingles "one two three","two three four","three four
     # five" -> |A|=|B|=4, inter=3, J=3/5
     assert got == {(1, 2): 0.6}
+
+
+def test_connected_components_chain_and_cliques(spark):
+    from html_qt_spark.operators.dedup import connected_components
+
+    # chain 1-2-3-4-5 (needs multiple propagation rounds), clique
+    # {10,11,12}, isolated pair {20,21}
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5),
+         (10, 11), (10, 12), (11, 12),
+         (20, 21)],
+        ["doc_a", "doc_b"])
+    got = {r.doc_id: r.component_id
+           for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+                   10: 10, 11: 10, 12: 10,
+                   20: 20, 21: 20}
+
+
+def test_connected_components_respects_max_iter(spark):
+    from html_qt_spark.operators.dedup import connected_components
+
+    # long chain with max_iter=1: only direct neighbors see the min
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 6)], ["doc_a", "doc_b"])
+    got = {r.doc_id: r.component_id
+           for r in connected_components(pairs, max_iter=1).collect()}
+    assert got[2] == 1 and got[6] == 5  # one hop of propagation only
