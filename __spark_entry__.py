@@ -208,6 +208,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return similarity.cosine_dup_pairs(
             _emb(spark, sf), threshold=0.35, n_planes=4, hash_fn="md5_32")
 
+    def q_hash_sample(spark, sf):
+        from html_qt_spark.operators.curation import hash_sample
+        return (hash_sample(_docs(spark, sf), rate=0.25, salt="r2",
+                            hash_fn="md5_32")
+                .select("doc_id", "lang", "n_chars"))
+
+    def q_pack_shards(spark, sf):
+        from html_qt_spark.operators.curation import pack_shards
+        from html_qt_spark.operators.textstats import token_count
+        return pack_shards(token_count(_docs(spark, sf)),
+                           token_budget=2000).select("doc_id", "n_tokens",
+                                                     "shard_id")
+
     def q_repetition(spark, sf):
         return textstats.repetition_score(_docs(spark, sf))
 
@@ -358,6 +371,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regex_tokens": q_regex_tokens,
         "cosine_dupes": q_cosine_dupes,
         "cosine_dupes_lsh": q_cosine_dupes_lsh,
+        "hash_sample": q_hash_sample,
+        "pack_shards": q_pack_shards,
         "repetition": q_repetition,
         "entropy": q_entropy,
         "json_meta": q_json_meta,
@@ -741,6 +756,18 @@ def oracle_sql() -> dict[str, str]:
         "frame_sample": oracle_cte(_FRAME_ORACLE_BODY),
         "simhash": _SIMHASH_ORACLE,
         "winnowing": _WINNOWING_ORACLE,
+        "hash_sample": (
+            "SELECT doc_id, lang, n_chars FROM documents "
+            "WHERE ('0x' || substr(md5('r2:' || CAST(doc_id AS STRING)), "
+            "1, 8))::BIGINT % 1000000 < 250000"),
+        "pack_shards": (
+            "WITH tc AS (SELECT doc_id, CAST(len(list_filter("
+            "string_split(text, ' '), x -> x <> '')) AS INT) AS n_tokens "
+            "FROM documents) "
+            "SELECT doc_id, n_tokens, "
+            "CAST(floor(coalesce(sum(n_tokens) OVER (ORDER BY doc_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+            "/ 2000) AS BIGINT) AS shard_id FROM tc"),
         "repetition": (
             "WITH ts AS (SELECT doc_id, list_filter(string_split(text, ' '), "
             "x -> x <> '') AS toks FROM documents), "

@@ -1,0 +1,74 @@
+"""Curation operators: deterministic sampling + shard packing."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import pytest
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from html_qt_spark.plans.session import get_spark
+
+    s = get_spark(cpus=4, shuffle_partitions=8)
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+
+
+def _docs(spark, n=400):
+    return spark.createDataFrame(
+        [(i, f"doc {i} " + "w " * (i % 50)) for i in range(n)],
+        ["doc_id", "text"])
+
+
+def test_hash_sample_deterministic_and_calibrated(spark):
+    from html_qt_spark.operators.curation import hash_sample
+
+    docs = _docs(spark)
+    a = {r.doc_id for r in hash_sample(docs, rate=0.3, salt="x").collect()}
+    b = {r.doc_id for r in hash_sample(docs, rate=0.3, salt="x").collect()}
+    assert a == b  # reproducible
+    assert 0.2 <= len(a) / 400 <= 0.4  # calibrated-ish
+    c = {r.doc_id for r in hash_sample(docs, rate=0.3, salt="y").collect()}
+    assert c != a  # independent draw under a different salt
+    # nested rates: a lower rate with the same salt selects a subset
+    d = {r.doc_id for r in hash_sample(docs, rate=0.1, salt="x").collect()}
+    assert d <= a
+
+
+def test_pack_shards_budget_and_order(spark):
+    from pyspark.sql import functions as F
+
+    from html_qt_spark.operators.curation import pack_shards
+    from html_qt_spark.operators.textstats import token_count
+
+    docs = _docs(spark)
+    packed = pack_shards(token_count(docs), token_budget=500) \
+        .orderBy("doc_id").collect()
+    # shard ids are nondecreasing in doc order
+    sids = [r.shard_id for r in packed]
+    assert sids == sorted(sids)
+    # every shard's token total stays under budget + one doc overhang
+    totals: dict[int, int] = {}
+    for r in packed:
+        totals[r.shard_id] = totals.get(r.shard_id, 0) + r.n_tokens
+    max_doc = max(r.n_tokens for r in packed)
+    assert all(t <= 500 + max_doc for t in totals.values())
+    # shards are contiguous: 0..max with no gaps
+    assert sorted(set(sids)) == list(range(max(sids) + 1))
+
+
+def test_pack_shards_megadoc_gets_own_shard(spark):
+    from html_qt_spark.operators.curation import pack_shards
+
+    rows = [(1, 100), (2, 5000), (3, 100)]
+    docs = spark.createDataFrame(rows, ["doc_id", "n_tokens"])
+    got = {r.doc_id: r.shard_id
+           for r in pack_shards(docs, token_budget=500).collect()}
+    assert got[1] == 0
+    assert got[2] == 0  # starts in shard 0 (prefix 100 < 500)...
+    assert got[3] == 10  # ...and pushes the next doc far ahead
