@@ -208,6 +208,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return similarity.cosine_dup_pairs(
             _emb(spark, sf), threshold=0.35, n_planes=4, hash_fn="md5_32")
 
+    def q_scrub_pii(spark, sf):
+        return textstats.scrub_pii(_docs(spark, sf))
+
     def q_hash_sample(spark, sf):
         from html_qt_spark.operators.curation import hash_sample
         return (hash_sample(_docs(spark, sf), rate=0.25, salt="r2",
@@ -371,6 +374,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regex_tokens": q_regex_tokens,
         "cosine_dupes": q_cosine_dupes,
         "cosine_dupes_lsh": q_cosine_dupes_lsh,
+        "scrub_pii": q_scrub_pii,
         "hash_sample": q_hash_sample,
         "pack_shards": q_pack_shards,
         "repetition": q_repetition,
@@ -756,6 +760,22 @@ def oracle_sql() -> dict[str, str]:
         "frame_sample": oracle_cte(_FRAME_ORACLE_BODY),
         "simhash": _SIMHASH_ORACLE,
         "winnowing": _WINNOWING_ORACLE,
+        "scrub_pii": (
+            r"SELECT doc_id, "
+            r"regexp_replace(regexp_replace(regexp_replace(text, "
+            r"'https?://[^\s]+', '<URL>', 'g'), "
+            r"'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', "
+            r"'<EMAIL>', 'g'), "
+            r"'\+?[0-9][0-9()\-\s]{6,}[0-9]', '<PHONE>', 'g') "
+            r"AS clean_text, "
+            r"CAST(len(regexp_extract_all(text, 'https?://[^\s]+')) "
+            r"AS BIGINT) AS n_urls, "
+            r"CAST(len(regexp_extract_all(text, "
+            r"'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) "
+            r"AS BIGINT) AS n_emails, "
+            r"CAST(len(regexp_extract_all(text, "
+            r"'\+?[0-9][0-9()\-\s]{6,}[0-9]')) AS BIGINT) AS n_phones "
+            r"FROM documents"),
         "hash_sample": (
             "SELECT doc_id, lang, n_chars FROM documents "
             "WHERE ('0x' || substr(md5('r2:' || CAST(doc_id AS STRING)), "

@@ -205,3 +205,34 @@ def fingerprint(docs: DataFrame) -> DataFrame:
         F.xxhash64("text").alias("fp64"),
         F.substring(F.md5("text"), 1, 8).alias("fp8"),
     )
+
+
+# PII-scrub patterns: deliberately simple (no lookaround) so the same
+# regex text runs identically under Java regex (Spark) and DuckDB RE2.
+PII_EMAIL_RX = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_URL_RX = r"https?://[^\s]+"
+PII_PHONE_RX = r"\+?[0-9][0-9()\-\s]{6,}[0-9]"
+
+
+def scrub_pii(docs: DataFrame, *, text_col: str = "text") -> DataFrame:
+    """Replace emails / URLs / phone-number-shaped spans with typed
+    placeholder tokens, plus per-doc counts of each replacement — the
+    standard pre-training scrub pass.  URL first (an email-looking
+    userinfo inside a URL must scrub as part of the URL), then email,
+    then phone.  Whole-stage codegen; no Python workers.
+    Returns (doc_id, clean_text, n_urls, n_emails, n_phones).
+    """
+    t = F.col(text_col)
+    return docs.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(t, PII_URL_RX, "<URL>"),
+                PII_EMAIL_RX, "<EMAIL>"),
+            PII_PHONE_RX, "<PHONE>").alias("clean_text"),
+        F.regexp_count(t, F.lit(PII_URL_RX)).cast("long").alias("n_urls"),
+        F.regexp_count(t, F.lit(PII_EMAIL_RX)).cast("long")
+        .alias("n_emails"),
+        F.regexp_count(t, F.lit(PII_PHONE_RX)).cast("long")
+        .alias("n_phones"),
+    )

@@ -72,3 +72,24 @@ def test_pack_shards_megadoc_gets_own_shard(spark):
     assert got[1] == 0
     assert got[2] == 0  # starts in shard 0 (prefix 100 < 500)...
     assert got[3] == 10  # ...and pushes the next doc far ahead
+
+
+def test_scrub_pii(spark):
+    from html_qt_spark.operators.textstats import scrub_pii
+
+    rows = [
+        (1, "mail a.b-c@x-corp.co.uk or visit https://ex.com/p?q=1 "
+            "or call +1 415-555-0199 now"),
+        (2, "no pii here at all"),
+        # an email-shaped userinfo inside a URL scrubs as part of the URL
+        (3, "link http://user@host.com/path end"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r for r in scrub_pii(docs).collect()}
+    assert "<EMAIL>" in got[1].clean_text
+    assert "<URL>" in got[1].clean_text
+    assert "<PHONE>" in got[1].clean_text
+    assert "415" not in got[1].clean_text
+    assert (got[1].n_urls, got[1].n_emails, got[1].n_phones) == (1, 1, 1)
+    assert got[2].clean_text == "no pii here at all"
+    assert got[3].clean_text == "link <URL> end"
