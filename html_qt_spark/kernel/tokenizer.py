@@ -68,6 +68,12 @@ MATHML_TEXT_IP = frozenset("mi mo mn ms mtext".split())
 # SVG HTML integration points (lowercase tag-name forms)
 SVG_HTML_IP = frozenset("foreignobject desc title".split())
 
+# start tags that need _emit_tag's full bookkeeping (state switches or
+# foreign-context transitions); everything else can take the direct-emit
+# fast path in _data_state when no foreign context is open
+_EMIT_SLOW_NAMES = (RCDATA_ELEMENTS | RAWTEXT_ELEMENTS
+                    | {"script", "plaintext", "svg", "math"})
+
 # ------------------------------------------------------ run-scan regexes
 _DATA_RX = re.compile(r"[&<\x00]")
 _RCDATA_RX = re.compile(r"[&<\x00]")
@@ -400,6 +406,7 @@ class HTMLTokenizer:
         n = self.n
         search = _DATA_RX.search
         charbuf = self._charbuf
+        tokens = self.tokens
         fast_end = _FAST_END.match
         fast_start = _FAST_START.match
         while True:
@@ -419,8 +426,18 @@ class HTMLTokenizer:
                 # fast path: whole well-formed tag in one regex (see above)
                 fm = fast_end(html, start)
                 if fm:
+                    name = fm.group(1).lower()
+                    if not self.fstack:
+                        # direct emit: fast end tags carry no attrs/flags
+                        # and outside foreign content touch no other state
+                        if charbuf:
+                            tokens.append(("Character", "".join(charbuf)))
+                            charbuf.clear()
+                        tokens.append(("EndTag", name))
+                        self.pos = fm.end()
+                        continue
                     self._new_tag(is_end=True)
-                    self.tag_name = fm.group(1).lower()
+                    self.tag_name = name
                     self.pos = fm.end()
                     self._emit_tag()
                     if self.state is not self._data_state_ref:
@@ -428,8 +445,41 @@ class HTMLTokenizer:
                     continue
                 fm = fast_start(html, start)
                 if fm:
+                    name = fm.group(1).lower()
+                    if not self.fstack and name not in _EMIT_SLOW_NAMES:
+                        # direct emit: no state switch, no foreign
+                        # bookkeeping — the overwhelmingly common case
+                        if charbuf:
+                            tokens.append(("Character", "".join(charbuf)))
+                            charbuf.clear()
+                        blob = fm.group(2)
+                        if blob:
+                            out: list[tuple[str, str]] = []
+                            seen = None
+                            for am in _FAST_ATTR.finditer(blob):
+                                v = am.group(2)
+                                if v is None:
+                                    v = am.group(3)
+                                if v is None:
+                                    v = am.group(4)
+                                k = am.group(1).lower()
+                                if seen is None:
+                                    seen = {k}
+                                elif k in seen:
+                                    self._err("duplicate-attribute")
+                                    continue
+                                else:
+                                    seen.add(k)
+                                out.append((k, v if v is not None else ""))
+                        else:
+                            out = []
+                        tokens.append(
+                            ("StartTag", name, out, fm.group(3) == "/"))
+                        self.last_start_tag = name
+                        self.pos = fm.end()
+                        continue
                     self._new_tag(is_end=False)
-                    self.tag_name = fm.group(1).lower()
+                    self.tag_name = name
                     blob = fm.group(2)
                     if blob:
                         attrs = self.attrs
