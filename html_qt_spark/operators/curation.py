@@ -43,20 +43,31 @@ def hash_sample(docs: DataFrame, *, rate: float, salt: str = "s0",
 
 def pack_shards(docs: DataFrame, *, token_budget: int,
                 tokens_col: str = "n_tokens",
-                id_col: str = "doc_id") -> DataFrame:
+                id_col: str = "doc_id",
+                partition_cols: list[str] | None = None) -> DataFrame:
     """Assign each document a shard_id so consecutive documents (in
     deterministic ``id_col`` order) fill ~``token_budget`` tokens per
     shard: shard_id = floor(exclusive-prefix-sum(tokens) / budget).
 
     A document larger than the budget gets its own shard (never split
-    here — sequence-level splitting happens downstream).  One global
-    window is a single-partition sort at the extreme; in production,
-    partition the window by a date/bucket column so each partition packs
-    independently — the shard ids then namespace by that column.
+    here — sequence-level splitting happens downstream).
+
+    ``partition_cols`` (e.g. a date / lang / bucket column) is the scale
+    path: each partition packs independently — the prefix-sum window is
+    ``Window.partitionBy(*partition_cols)``, so the physical plan is one
+    hash Exchange on those columns instead of a single-partition global
+    sort, and shard identity is (partition_cols..., shard_id).  The
+    unpartitioned default is a GLOBAL pack — an explicit special case
+    that funnels every row through one task's sort; only use it for
+    small curated sets (or oracle checks), never at corpus scale.
     Returns input columns + shard_id.
     """
-    w = (Window.orderBy(id_col)
-         .rowsBetween(Window.unboundedPreceding, -1))
+    if partition_cols:
+        w = (Window.partitionBy(*partition_cols).orderBy(id_col)
+             .rowsBetween(Window.unboundedPreceding, -1))
+    else:
+        w = (Window.orderBy(id_col)
+             .rowsBetween(Window.unboundedPreceding, -1))
     return (docs.withColumn(
         "_cum_before",
         F.coalesce(F.sum(tokens_col).over(w), F.lit(0)))
