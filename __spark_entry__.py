@@ -254,6 +254,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return textstats.winnowing_fingerprints(_docs(spark, sf),
                                                 hash_fn="md5_32")
 
+    def q_nfc_normalize(spark, sf):
+        # NFC normalization (the DuckDB-portable slice; NFKC is pinned by
+        # pytest).  A decomposed suffix (e+U+0301, U+212B, A+U+030A) is
+        # appended so composition genuinely fires on this ASCII corpus.
+        from html_qt_spark.operators.normalize import normalize_text
+        suffixed = _docs(spark, sf).select(
+            "doc_id",
+            F.concat("text", F.lit(" cafe\u0301 \u212b A\u030a"))
+            .alias("text"))
+        normed = normalize_text(suffixed, form="NFC", out_col="norm_text")
+        return normed.select(
+            "doc_id",
+            F.length("text").cast("long").alias("n_chars_raw"),
+            F.length("norm_text").cast("long").alias("n_chars_nfc"),
+            F.substring(F.md5("norm_text"), 1, 8).alias("fp8"))
+
+    def q_para_dedup(spark, sf):
+        # paragraph-level exact dedup (CCNet/RefinedWeb style).  The
+        # corpus has no newlines, so paragraph boundaries are synthesized
+        # deterministically as tumbling 10-token windows — identically in
+        # the DuckDB oracle.
+        from html_qt_spark.operators.dedup import paragraph_dedup
+        toks = F.filter(F.split("text", " "), lambda t: t != "")
+        n_last = F.greatest(
+            F.floor((F.size(toks) - 1) / 10).cast("int"), F.lit(0))
+        paras = _docs(spark, sf).select(
+            "doc_id",
+            F.concat_ws("\n\n", F.transform(
+                F.sequence(F.lit(0), n_last),
+                lambda i: F.concat_ws(" ", F.slice(toks, i * 10 + 1, 10)))
+            ).alias("text"))
+        out = paragraph_dedup(paras)
+        return out.select(
+            "doc_id", "n_paras", "n_kept", "n_dropped",
+            F.substring(F.md5("clean_text"), 1, 8).alias("fp8"))
+
     # ----- non-SQL-expressible (rows-only checks): kernel + scale paths
     def q_extract_doc(spark, sf):
         return extract_spans_doc(interleaved_nested(spark, sf))
@@ -274,6 +310,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return extract_spans_exploded(chunk_split_exploded(
             ex, threshold_bytes=4096, target_chunk_bytes=2048))
 
+    def q_extract_fragments(spark, sf):
+        # innerHTML semantics: every text span parsed as the contents of
+        # a <td> context element (WHATWG 13.4).  Oracle = golden spans
+        # from the independent recursive extractor run in fragment mode.
+        return extract_spans_doc(interleaved_nested(spark, sf),
+                                 fragment_context="td")
+
     def q_doc_parse_stats(spark, sf):
         from html_qt_spark.operators.extract import doc_parse_stats
         return doc_parse_stats(interleaved_nested(spark, sf))
@@ -284,13 +327,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def q_clean_corpus(spark, sf):
         # composite training-data pipeline in ONE plan: extract ->
-        # reassemble doc text -> quality gate -> exact-dedup (first wins)
+        # reassemble doc text -> NFC normalize -> quality gate ->
+        # exact-dedup (first wins).  Normalization runs BEFORE the md5
+        # dedup so composed/decomposed twins collapse (the oracle mirrors
+        # with DuckDB nfc_normalize).
+        from html_qt_spark.operators.normalize import normalize_text
         spans = extract_spans_doc(interleaved_nested(spark, sf))
-        doc_text = (spans.where(F.col("kind") == "text")
-                    .groupBy("doc_id")
-                    .agg(F.concat_ws(" ", F.sort_array(
-                            F.collect_list(F.struct("span_idx", "text"))
-                         ).getField("text")).alias("clean_text")))
+        doc_text = normalize_text(
+            (spans.where(F.col("kind") == "text")
+             .groupBy("doc_id")
+             .agg(F.concat_ws(" ", F.sort_array(
+                     F.collect_list(F.struct("span_idx", "text"))
+                  ).getField("text")).alias("clean_text"))),
+            form="NFC", text_col="clean_text")
         scored = doc_text.select(
             "doc_id", "clean_text",
             F.size(F.split("clean_text", " ")).alias("n_tokens"))
@@ -309,6 +358,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # duplicate-cluster assignment: iterative min-label propagation
         # over the LSH candidate graph (O(diameter) shuffle rounds)
         return dedup.connected_components(
+            dedup.minhash_lsh_pairs(_docs(spark, sf)))
+
+    def q_dup_components_star(spark, sf):
+        # same clustering via alternating large-star/small-star
+        # (Kiveris et al.): O(log n) rounds on adversarial chain graphs
+        # where min-label needs O(diameter); identical output contract,
+        # same recursive-CTE oracle
+        return dedup.connected_components_star(
             dedup.minhash_lsh_pairs(_docs(spark, sf)))
 
     def q_simhash(spark, sf):
@@ -381,15 +438,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entropy": q_entropy,
         "json_meta": q_json_meta,
         "winnowing": q_winnowing,
+        "nfc_normalize": q_nfc_normalize,
+        "para_dedup": q_para_dedup,
         "extract_doc": q_extract_doc,
         "extract_exploded": q_extract_exploded,
         "extract_compat": q_extract_compat,
         "extract_chunked": q_extract_chunked,
+        "extract_fragments": q_extract_fragments,
         "doc_parse_stats": q_doc_parse_stats,
         "doc_metadata": q_doc_metadata,
         "clean_corpus": q_clean_corpus,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "dup_components": q_dup_components,
+        "dup_components_star": q_dup_components_star,
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -735,6 +796,10 @@ def oracle_sql() -> dict[str, str]:
             'SELECT doc_id, span_idx, kind, text, media_ref, "offset" '
             "FROM read_parquet("
             f"'{_FIXTURES}/golden_spans_compat_sf001.parquet')"),
+        "extract_fragments": (
+            'SELECT doc_id, span_idx, kind, text, media_ref, "offset" '
+            "FROM read_parquet("
+            f"'{_FIXTURES}/golden_spans_fragment_td_sf001.parquet')"),
         # span-count columns recomputed independently in SQL; kernel
         # token/node/error counts pinned by the out-of-Spark golden
         "doc_parse_stats": oracle_cte(
@@ -754,6 +819,9 @@ def oracle_sql() -> dict[str, str]:
             ".parquet')"),
         "minhash_lsh_pairs": _LSH_ORACLE,
         "dup_components": _COMPONENTS_ORACLE,
+        # same transitive-closure truth for the large-star/small-star
+        # variant — both algorithms must land on identical components
+        "dup_components_star": _COMPONENTS_ORACLE,
         "cosine_dupes_lsh": _COSINE_DUPES_LSH_ORACLE,
         "ann_lsh_topk": _ANN_LSH_ORACLE,
         "media_decode": oracle_cte(_MEDIA_ORACLE_BODY),
@@ -821,12 +889,45 @@ def oracle_sql() -> dict[str, str]:
             "CAST(json_extract(meta, '$.n') AS BIGINT) AS n_x, "
             "json_extract_string(meta, '$.source') AS source_x FROM j"),
         "ngram_jaccard": _NGRAM_JACCARD_ORACLE,
+        "nfc_normalize": (
+            "WITH s AS (SELECT doc_id, text || ' cafe' || chr(769) || ' ' "
+            "|| chr(8491) || ' A' || chr(778) AS raw FROM documents), "
+            "n AS (SELECT doc_id, raw, nfc_normalize(raw) AS norm FROM s) "
+            "SELECT doc_id, CAST(length(raw) AS BIGINT) AS n_chars_raw, "
+            "CAST(length(norm) AS BIGINT) AS n_chars_nfc, "
+            "substr(md5(norm), 1, 8) AS fp8 FROM n"),
+        "para_dedup": (
+            "WITH ts AS (SELECT doc_id, list_filter(string_split(text, ' '), "
+            "x -> x <> '') AS toks FROM documents), "
+            "p AS (SELECT doc_id, toks, unnest(range(0, "
+            "CAST(greatest(floor((len(toks) - 1) / 10.0), 0) AS BIGINT) + 1"
+            ")) AS i FROM ts), "
+            "paras AS (SELECT doc_id, CAST(i AS INT) AS para_idx, "
+            "array_to_string(toks[i*10+1 : i*10+10], ' ') AS para FROM p), "
+            "ne AS (SELECT * FROM paras WHERE length(para) >= 1), "
+            "ranked AS (SELECT doc_id, para_idx, para, row_number() OVER "
+            "(PARTITION BY md5(para) ORDER BY doc_id, para_idx) AS rn "
+            "FROM ne), "
+            "kept AS (SELECT doc_id, para_idx, para FROM ranked "
+            "WHERE rn = 1), "
+            "ka AS (SELECT doc_id, string_agg(para, chr(10) || chr(10) "
+            "ORDER BY para_idx) AS clean_text, count(*) AS n_kept "
+            "FROM kept GROUP BY doc_id), "
+            "tot AS (SELECT doc_id, count(*) AS n_paras FROM ne "
+            "GROUP BY doc_id) "
+            "SELECT t.doc_id, t.n_paras, "
+            "CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept, "
+            "CAST(t.n_paras - coalesce(k.n_kept, 0) AS BIGINT) "
+            "AS n_dropped, "
+            "substr(md5(coalesce(k.clean_text, '')), 1, 8) AS fp8 "
+            "FROM tot t LEFT JOIN ka k USING (doc_id)"),
         # clean_corpus = SQL pipeline over the golden extraction spans
         "clean_corpus": (
             "WITH spans AS (SELECT * FROM read_parquet("
             f"'{_FIXTURES}/golden_spans_sf001.parquet')), "
             "doc_text AS (SELECT doc_id, "
-            "string_agg(text, ' ' ORDER BY span_idx) AS clean_text "
+            "nfc_normalize(string_agg(text, ' ' ORDER BY span_idx)) "
+            "AS clean_text "
             "FROM spans WHERE kind = 'text' GROUP BY doc_id), "
             "scored AS (SELECT doc_id, clean_text, "
             "CAST(len(string_split(clean_text, ' ')) AS INT) AS n_tokens "

@@ -14,7 +14,7 @@ expressed as DataFrame plans (shuffle-aware, no driver loops):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -212,6 +212,53 @@ def ngram_jaccard_pairs(docs: DataFrame, *, n: int = 3,
     )
 
 
+def paragraph_dedup(docs: DataFrame, *, sep_rx: str = r"\n{2,}",
+                    join_sep: str = "\n\n", text_col: str = "text",
+                    id_col: str = "doc_id",
+                    min_para_chars: int = 1) -> DataFrame:
+    """Corpus-level EXACT paragraph dedup (CCNet / RefinedWeb style):
+    split each document on paragraph boundaries, keep only the globally
+    FIRST occurrence of every distinct paragraph (ordered by
+    (doc_id, para_idx)), and re-assemble each document from its
+    surviving paragraphs.  Boilerplate-heavy crawls (shared footers,
+    cookie banners, navigation text that survived extraction) dedup at
+    paragraph granularity where document-level hashing sees every page
+    as unique.
+
+    Plan shape at 10^12 docs: explode (narrow) → one shuffle keyed on
+    md5(paragraph) for the first-wins window → one groupBy(doc_id) to
+    reassemble → a doc-keyed join for the totals.  All JVM-side
+    (split/posexplode/md5/window), no Python workers.
+
+    Returns (id_col, clean_text, n_paras, n_kept, n_dropped) — one row
+    per document that had at least one non-empty paragraph; documents
+    whose every paragraph was a duplicate come back with clean_text=''.
+    """
+    paras = (docs.select(
+                id_col,
+                F.posexplode(F.split(text_col, sep_rx))
+                .alias("para_idx", "para"))
+             .where(F.length("para") >= min_para_chars))
+    w = Window.partitionBy(F.md5("para")).orderBy(id_col, "para_idx")
+    kept = (paras.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1))
+    kept_agg = (kept.groupBy(id_col)
+                .agg(F.concat_ws(
+                        join_sep,
+                        F.sort_array(
+                            F.collect_list(F.struct("para_idx", "para")))
+                        .getField("para")).alias("clean_text"),
+                     F.count("*").alias("n_kept")))
+    totals = paras.groupBy(id_col).agg(F.count("*").alias("n_paras"))
+    return (totals.join(kept_agg, id_col, "left")
+            .select(id_col,
+                    F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+                    F.col("n_paras"),
+                    F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+                    (F.col("n_paras")
+                     - F.coalesce("n_kept", F.lit(0))).alias("n_dropped")))
+
+
 def connected_components(pairs: DataFrame, *, max_iter: int = 20
                          ) -> DataFrame:
     """(doc_a, doc_b) candidate-pair edges -> (doc_id, component_id):
@@ -260,3 +307,77 @@ def connected_components(pairs: DataFrame, *, max_iter: int = 20
             break
     return labels.select(F.col("vid").alias("doc_id"),
                          F.col("label").alias("component_id"))
+
+
+def connected_components_star(pairs: DataFrame, *, max_iter: int = 40,
+                              stats: dict | None = None) -> DataFrame:
+    """Alternating large-star/small-star connected components
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC 2014): O(log n) shuffle rounds even on adversarial
+    high-diameter graphs — a crawl of paginated boilerplate forms
+    near-dup CHAINS, where min-label propagation
+    (:func:`connected_components`) needs O(diameter) rounds.
+
+    - large-star(u): m = min(Γ(u) ∪ {u}); emit (v, m) for v ∈ Γ(u),
+      v > u.  Hooks every larger neighbor directly to the local min.
+    - small-star(u): over the resulting parent edges (u > v), m =
+      min(children ∪ {u}); emit (v, m) for the children and u itself.
+
+    Both are one groupBy + one keyed join per application — the same
+    shuffle primitives as the min-label loop, just log-round
+    convergence.  Converged when an alternation leaves the edge set
+    unchanged (two count()s per round — control-plane only).
+
+    ``stats``: pass a dict to receive {"rounds": n} for convergence
+    tests.  Output matches :func:`connected_components`:
+    (doc_id, component_id) with component_id = min reachable id, one
+    row per vertex appearing in any edge.
+    """
+    verts = (pairs.select(F.col("doc_a").alias("vid"))
+             .union(pairs.select(F.col("doc_b").alias("vid")))
+             .distinct().localCheckpoint())
+    # parent-pointer form: every edge as (child=max, parent=min)
+    edges = (pairs.select(
+                F.greatest("doc_a", "doc_b").alias("u"),
+                F.least("doc_a", "doc_b").alias("v"))
+             .where(F.col("u") != F.col("v"))
+             .distinct().localCheckpoint())
+
+    def _large_star(e: DataFrame) -> DataFrame:
+        nbrs = e.union(e.select(F.col("v").alias("u"),
+                                F.col("u").alias("v")))
+        mins = (nbrs.groupBy("u").agg(F.min("v").alias("_mv"))
+                .select("u", F.least("_mv", "u").alias("m")))
+        return (nbrs.join(mins, "u")
+                .where(F.col("v") > F.col("u"))
+                .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                .where(F.col("u") != F.col("v"))
+                .distinct())
+
+    def _small_star(e: DataFrame) -> DataFrame:
+        # e is parent-pointer form (u > v): children of u are its v's
+        mins = e.groupBy("u").agg(F.min("v").alias("m"))
+        hooked = (e.join(mins, "u")
+                  .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                  .union(mins.select("u", F.col("m").alias("v"))))
+        return (hooked.where(F.col("u") != F.col("v")).distinct())
+
+    rounds = 0
+    for _ in range(max_iter):
+        rounds += 1
+        nxt = _small_star(_large_star(edges)).localCheckpoint()
+        # converged when the alternation is a no-op on the edge set
+        same = (nxt.exceptAll(edges).count() == 0
+                and edges.exceptAll(nxt).count() == 0)
+        edges = nxt
+        if same:
+            break
+    if stats is not None:
+        stats["rounds"] = rounds
+    # at convergence edges form stars: child -> component min.  A min()
+    # guards the (theoretical) multi-parent leftover under max_iter cutoff.
+    roots = edges.groupBy("u").agg(F.min("v").alias("component_id"))
+    return (verts.join(roots, verts.vid == roots.u, "left")
+            .select(F.col("vid").alias("doc_id"),
+                    F.coalesce("component_id", F.col("vid"))
+                    .alias("component_id")))

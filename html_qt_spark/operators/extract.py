@@ -53,12 +53,20 @@ QUARANTINE_KIND = "__quarantine__"
 def extract_spans_doc(df: DataFrame, *, reference_compat: bool = False,
                       max_link_density: float = 0.5,
                       min_words: int = 1,
-                      max_span_bytes: int | None = None) -> DataFrame:
+                      max_span_bytes: int | None = None,
+                      fragment_context: str | None = None) -> DataFrame:
     """(doc_id, spans) → (doc_id, span_idx, kind, text, media_ref, offset).
 
     Narrow transformation: no shuffle, no driver round-trip.  Input text
     spans run through the fused tokenize→tree→extract kernel; media spans
     pass through at their document position.
+
+    ``fragment_context``: parse each text span with innerHTML semantics
+    as the contents of that context element (WHATWG 13.4) — a crawl
+    storing non-document snippets (table cells, option lists, svg
+    islands) extracts them in their real context instead of through the
+    full-document state machine.  Threads straight to the kernel
+    (kernel/extractor.py::extract_html).
 
     Poison-pill policy (engine version of the reference's fatal
     no-progress guard, html-qt/htmltokenizer.cpp:66-80, made non-fatal —
@@ -113,7 +121,8 @@ def extract_spans_doc(df: DataFrame, *, reference_compat: bool = False,
                                 html,
                                 reference_compat=reference_compat,
                                 max_link_density=max_link_density,
-                                min_words=min_words):
+                                min_words=min_words,
+                                fragment_context=fragment_context):
                             emit(doc_id, idx, k, t, m, offset)
                             idx += 1
                 except Exception as exc:  # noqa: BLE001 — poison pill
@@ -323,10 +332,12 @@ def chunk_split_exploded(df_exploded: DataFrame, *,
     return passthrough.select(*cols).unionByName(chunks.select(*cols))
 
 
-def extract_spans_exploded(df_exploded: DataFrame) -> DataFrame:
+def extract_spans_exploded(df_exploded: DataFrame, *,
+                           fragment_context: str | None = None
+                           ) -> DataFrame:
     """Skew path over the exploded form (doc_id, offset, kind, text,
     media_ref[, _chunk]): per-span extraction + one window to number
-    spans.
+    spans.  ``fragment_context`` as in :func:`extract_spans_doc`.
 
     Mega-documents parallelize across their spans; the window shuffle is
     keyed on doc_id so AQE's skew-join splitting and post-shuffle
@@ -369,7 +380,8 @@ def extract_spans_exploded(df_exploded: DataFrame) -> DataFrame:
                 if not html:
                     continue
                 try:
-                    for i, (k, t, m) in enumerate(extract_html(html)):
+                    for i, (k, t, m) in enumerate(extract_html(
+                            html, fragment_context=fragment_context)):
                         doc_ids.append(doc_id)
                         offsets.append(offset)
                         chunks.append(chunk)

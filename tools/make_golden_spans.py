@@ -34,7 +34,11 @@ REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
 from html_qt_spark.kernel.tokenizer import HTMLTokenizer  # noqa: E402
-from html_qt_spark.kernel.treebuilder import TreeBuilder, parse  # noqa: E402
+from html_qt_spark.kernel.treebuilder import (  # noqa: E402
+    TreeBuilder,
+    parse,
+    parse_fragment,
+)
 from html_qt_spark.sources.interleaved import INTERLEAVED_SPANS_SQL  # noqa: E402
 from tests.oracle import oracle_extract, oracle_metadata  # noqa: E402
 
@@ -78,7 +82,8 @@ def load_interleaved(sf_dir: str) -> list[tuple]:
         + ') ORDER BY doc_id, "offset"').fetchall()
 
 
-def golden_spans(rows: list[tuple], *, reference_compat: bool) -> dict:
+def golden_spans(rows: list[tuple], *, reference_compat: bool,
+                 fragment_context: str | None = None) -> dict:
     cols = {k: [] for k in ("doc_id", "span_idx", "kind", "text",
                             "media_ref", "offset")}
     idx = 0
@@ -88,6 +93,10 @@ def golden_spans(rows: list[tuple], *, reference_compat: bool) -> dict:
             prev_doc, idx = doc_id, 0
         if kind == "media":
             spans = [("media", text, media_ref)]
+        elif fragment_context is not None:
+            tb = parse_fragment(text or "", context=fragment_context,
+                                reference_compat=reference_compat)
+            spans = oracle_extract(tb)
         else:
             tb = parse(text or "", reference_compat=reference_compat)
             spans = oracle_extract(tb)
@@ -171,6 +180,13 @@ def main() -> None:
     pq.write_table(pa.table(compat, schema=SPANS_SCHEMA),
                    out_dir / "golden_spans_compat_sf001.parquet")
     print(f"golden_spans_compat_sf001.parquet: {len(compat['doc_id'])} rows")
+
+    frag = golden_spans(rows, reference_compat=False,
+                        fragment_context="td")
+    pq.write_table(pa.table(frag, schema=SPANS_SCHEMA),
+                   out_dir / "golden_spans_fragment_td_sf001.parquet")
+    print("golden_spans_fragment_td_sf001.parquet: "
+          f"{len(frag['doc_id'])} rows")
 
     stats = golden_parse_stats(rows)
     pq.write_table(pa.table(stats, schema=STATS_SCHEMA),
