@@ -104,6 +104,43 @@ def test_probe_set_size(spark):
     assert ann_lsh_topk(emb, 0, 5, probe_bits=2).count() == 5
 
 
+def test_recall_gate_auto_params_small_scale(spark):
+    """Auto-chosen n_planes (from corpus count) keeps the >=0.9 planted
+    -cluster recall gate at sandbox scale."""
+    from html_qt_spark.operators.similarity import ann_lsh_topk, cosine_topk
+
+    emb = _clustered_embeddings(spark)
+    recalls = []
+    for q in (0, 55, 190):
+        exact = {r.vec_id for r in cosine_topk(emb, q, 9).collect()}
+        ann = {r.vec_id for r in ann_lsh_topk(
+            emb, q, 9, n_planes=None, probe_bits=1).collect()}
+        recalls.append(len(exact & ann) / 9)
+    assert sum(recalls) / len(recalls) >= 0.9, recalls
+
+
+def test_recall_gate_auto_params_sf01(spark):
+    """VERDICT r2 ask #8: the planted-cluster recall gate extended to the
+    sf0.1 corpus with auto-chosen parameters — planted near-dup clusters
+    on top of the full 2,000-vector isotropic background."""
+    from pyspark.sql import functions as F
+
+    from html_qt_spark.operators.similarity import ann_lsh_topk, cosine_topk
+
+    bg = (spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+          .select((F.col("vec_id") + 1_000_000).alias("vec_id"),
+                  F.transform("embedding", lambda x: x.cast("double"))
+                  .alias("embedding")))
+    emb = _clustered_embeddings(spark).unionByName(bg).localCheckpoint()
+    recalls = []
+    for q in (0, 55, 111, 190):
+        exact = {r.vec_id for r in cosine_topk(emb, q, 9).collect()}
+        ann = {r.vec_id for r in ann_lsh_topk(
+            emb, q, 9, n_planes=None, probe_bits=1).collect()}
+        recalls.append(len(exact & ann) / 9)
+    assert sum(recalls) / len(recalls) >= 0.9, recalls
+
+
 def test_auto_n_planes_scales_with_corpus():
     from html_qt_spark.operators.similarity import auto_n_planes
 
