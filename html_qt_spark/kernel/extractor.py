@@ -56,10 +56,32 @@ MEDIA_TAGS = {
     "object": "data",
 }
 
+# one classification dict instead of up to 6 set probes per DFS node:
+# bitmask per known tag (unknown/custom tags -> 0 = plain element)
+_C_TEXT, _C_SKIP, _C_MEDIA, _C_BOILER, _C_LINK, _C_BLOCK = 1, 2, 4, 8, 16, 32
+_TAG_CLASS: dict[str, int] = {}
+_TAG_CLASS["#text"] = _C_TEXT
+for _t in SKIP_SUBTREES:
+    _TAG_CLASS[_t] = _C_SKIP
+for _t in MEDIA_TAGS:
+    _TAG_CLASS[_t] = _TAG_CLASS.get(_t, 0) | _C_MEDIA
+for _t in BOILERPLATE_CONTAINERS:
+    _TAG_CLASS[_t] = _TAG_CLASS.get(_t, 0) | _C_BOILER
+_TAG_CLASS["a"] = _TAG_CLASS.get("a", 0) | _C_LINK
+for _t in BLOCK_TAGS:
+    _TAG_CLASS[_t] = _TAG_CLASS.get(_t, 0) | _C_BLOCK
+
 _WS_COLLAPSE = re.compile(r"[ \t\n\f\r]+")
+# anything that makes the collapse non-trivial: a non-space whitespace
+# char or a run of 2+ spaces
+_WS_NONTRIVIAL = re.compile(r"[\t\n\f\r]| {2}")
 
 
 def _norm(text: str) -> str:
+    # fast path: most extracted blocks are already single-spaced — one
+    # C-level search beats an allocating regex sub
+    if _WS_NONTRIVIAL.search(text) is None:
+        return text.strip()
     return _WS_COLLAPSE.sub(" ", text).strip()
 
 
@@ -79,36 +101,43 @@ def extract_spans(
     # events in document order: ("block_text", block_id, text, in_link)
     #                        or ("media", ref, alt_text)
     events: list[tuple] = []
+    cls_get = _TAG_CLASS.get
     # iterative DFS with (node, block_id, link_depth, boiler_depth)
     stack: list[tuple[int, int, int, int]] = [(0, 0, 0, 0)]
     while stack:
         nid, block_id, link_depth, boiler_depth = stack.pop()
-        t = tag[nid]
-        if t in SKIP_SUBTREES:
-            continue
-        if t == "#text":
-            if boiler_depth == 0 or keep_boilerplate_containers:
-                events.append(("text", block_id, text[nid], link_depth > 0))
-            continue
-        if t in MEDIA_TAGS:
-            ref = next((v for k, v in (attrs[nid] or [])
-                        if k == MEDIA_TAGS[t]), None)
-            if ref and (boiler_depth == 0 or keep_boilerplate_containers):
-                alt = next((v for k, v in (attrs[nid] or []) if k == "alt"),
-                           None)
-                events.append(("media", nid, ref, alt))
-            # fall through: <object>/<video> children may hold text/sources
-        if t in BOILERPLATE_CONTAINERS:
-            boiler_depth += 1
-        if t == "a":
-            link_depth += 1
-        if t in BLOCK_TAGS:
-            block_id = nid
-            # entering ANY block element is a span boundary — without
-            # this, two text runs of the same block ancestor separated by
-            # an intervening (possibly empty) block element would merge
-            # (found by the independent recursive oracle, tests/oracle.py)
-            events.append(("flush",))
+        cls = cls_get(tag[nid], 0)
+        if cls:
+            if cls & _C_TEXT:
+                if boiler_depth == 0 or keep_boilerplate_containers:
+                    events.append(
+                        ("text", block_id, text[nid], link_depth > 0))
+                continue
+            if cls & _C_SKIP:
+                continue
+            if cls & _C_MEDIA:
+                t = tag[nid]
+                ref = next((v for k, v in (attrs[nid] or [])
+                            if k == MEDIA_TAGS[t]), None)
+                if ref and (boiler_depth == 0
+                            or keep_boilerplate_containers):
+                    alt = next((v for k, v in (attrs[nid] or [])
+                                if k == "alt"), None)
+                    events.append(("media", nid, ref, alt))
+                # fall through: <object>/<video> children may hold
+                # text/sources
+            if cls & _C_BOILER:
+                boiler_depth += 1
+            if cls & _C_LINK:
+                link_depth += 1
+            if cls & _C_BLOCK:
+                block_id = nid
+                # entering ANY block element is a span boundary — without
+                # this, two text runs of the same block ancestor separated
+                # by an intervening (possibly empty) block element would
+                # merge (found by the independent recursive oracle,
+                # tests/oracle.py)
+                events.append(("flush",))
         for ch in reversed(children[nid]):
             stack.append((ch, block_id, link_depth, boiler_depth))
 

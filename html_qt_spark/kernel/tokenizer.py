@@ -409,8 +409,12 @@ class HTMLTokenizer:
         tokens = self.tokens
         fast_end = _FAST_END.match
         fast_start = _FAST_START.match
+        # `pos` lives in a local across the whole loop; self.pos is only
+        # synchronized at exits and around calls that read it — cuts 3-4
+        # attribute loads/stores per tag/text-run iteration off the
+        # hottest loop in the kernel
+        pos = self.pos
         while True:
-            pos = self.pos
             m = search(html, pos)
             if m is None:
                 if pos < n:
@@ -420,11 +424,15 @@ class HTMLTokenizer:
             start = m.start()
             if start > pos:
                 charbuf.append(html[pos:start])
-            self.pos = start + 1
-            c = m.group()
+            c = html[start]
             if c == "<":
-                # fast path: whole well-formed tag in one regex (see above)
-                fm = fast_end(html, start)
+                # fast path: whole well-formed tag in one regex (see
+                # above).  One char peek picks end- vs start-tag so the
+                # common case never pays a guaranteed-failing match.
+                if html.startswith("/", start + 1):
+                    fm = fast_end(html, start)
+                else:
+                    fm = None
                 if fm:
                     name = fm.group(1).lower()
                     if not self.fstack:
@@ -434,11 +442,11 @@ class HTMLTokenizer:
                             tokens.append(("Character", "".join(charbuf)))
                             charbuf.clear()
                         tokens.append(("EndTag", name))
-                        self.pos = fm.end()
+                        pos = fm.end()
                         continue
                     self._new_tag(is_end=True)
                     self.tag_name = name
-                    self.pos = fm.end()
+                    self.pos = pos = fm.end()
                     self._emit_tag()
                     if self.state is not self._data_state_ref:
                         return True
@@ -466,6 +474,7 @@ class HTMLTokenizer:
                                 if seen is None:
                                     seen = {k}
                                 elif k in seen:
+                                    self.pos = start + 1  # error position
                                     self._err("duplicate-attribute")
                                     continue
                                 else:
@@ -476,7 +485,7 @@ class HTMLTokenizer:
                         tokens.append(
                             ("StartTag", name, out, fm.group(3) == "/"))
                         self.last_start_tag = name
-                        self.pos = fm.end()
+                        pos = fm.end()
                         continue
                     self._new_tag(is_end=False)
                     self.tag_name = name
@@ -492,23 +501,28 @@ class HTMLTokenizer:
                             attrs.append([am.group(1).lower(),
                                           [v] if v is not None else []])
                     self.self_closing = fm.group(3) == "/"
-                    self.pos = fm.end()
+                    self.pos = pos = fm.end()
                     self._emit_tag()
                     if self.state is not self._data_state_ref:
                         return True
                     continue
+                self.pos = start + 1
                 self.state = self._tag_open_state
                 return True
             if c == "&":
+                self.pos = start + 1
                 t = self._consume_charref()
+                pos = self.pos
                 charbuf.append(t if t is not None else "&")
                 continue
             # NUL
+            self.pos = pos = start + 1
             self._err("invalid-codepoint")
             charbuf.append("\x00")
             if self.reference_compat:
                 # reference bug: NUL falls through to tag-open
                 # (html-qt/htmltokenizer.cpp:125-128)
+                self.pos = pos
                 self.state = self._tag_open_state
                 return True
 

@@ -494,12 +494,16 @@ class TreeBuilder:
         full bounded algorithm (8 outer / 3 inner iterations) over the
         parent-pointer arrays."""
         # fast path: current node matches and is not in the AFE list
-        if (self.open_elements
-                and self.tag[(cur := self.open_elements[-1])] == name
-                and not any(e != MARKER and e[0] == cur
-                            for e in self.active_formatting)):
-            self.open_elements.pop()
-            return
+        # (plain loop, not a genexpr — the AFE list is almost always
+        # empty and a generator frame per </b> costs more than the scan)
+        if self.open_elements \
+                and self.tag[(cur := self.open_elements[-1])] == name:
+            for e in self.active_formatting:
+                if e != MARKER and e[0] == cur:
+                    break
+            else:
+                self.open_elements.pop()
+                return
 
         for _ in range(8):
             # locate formatting element
@@ -984,10 +988,36 @@ class TreeBuilder:
         self._mode_initial_anything()
         return ws
 
+    # start-tag names the fused startup ladder must NOT shortcut: each is
+    # handled specially somewhere in before_html/before_head/in_head/
+    # after_head (attr merge, head routing, text-mode switch, frameset...)
+    _INITIAL_LADDER_EXCLUDE = frozenset(
+        """html head body br frameset base basefont bgsound link meta
+        noframes noscript script style template title""".split())
+
     def _tag_initial(self, tok: tuple) -> None:
         self._err("expected-doctype-but-got-start-tag"
                   if tok[0] == "StartTag" else
                   "expected-doctype-but-got-end-tag")
+        if tok[0] == "StartTag" \
+                and tok[1] not in self._INITIAL_LADDER_EXCLUDE:
+            # fused ladder for the overwhelmingly-common doctype-less
+            # fragment opening with an ordinary tag: initial → before_html
+            # (synthesize <html>) → before_head (synthesize <head>) →
+            # in_head (pop head) → after_head (synthesize <body>) →
+            # in_body, which otherwise costs 5 reprocess dispatches per
+            # document.  Identical tree, mode, stack, quirks flag and
+            # error output by construction (none of the intermediate
+            # handlers err or set flags for these names).
+            self.quirks_mode = "quirks"
+            nid = self._new_node("html", [])
+            self._append(nid, 0)
+            self.open_elements.append(nid)
+            self.head_id = self._insert_element("head", [], push=False)
+            self._insert_element("body", [])
+            self.mode = "in_body"
+            self._tag_in_body(tok)
+            return
         self._mode_initial_anything()
         self._process_token(tok)
 
@@ -1540,7 +1570,17 @@ class TreeBuilder:
         self._pop_until(name)
 
     def _ibe_heading(self, tok, name) -> None:
-        if not any(self._in_scope(h) for h in _HEADINGS):
+        # single stack walk instead of six _in_scope scans: true iff some
+        # heading appears above the first scope terminator (same
+        # terminator set for all six, so the walks are interchangeable)
+        for nid in reversed(self.open_elements):
+            t = self.tag[nid]
+            if t in _HEADINGS:
+                break
+            if t in _SCOPE_DEFAULT:
+                self._err("unexpected-end-tag")
+                return
+        else:
             self._err("unexpected-end-tag")
             return
         self._generate_implied_end()
