@@ -254,6 +254,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return textstats.winnowing_fingerprints(_docs(spark, sf),
                                                 hash_fn="md5_32")
 
+    def q_tfidf_top(spark, sf):
+        return textstats.tfidf_top_terms(_docs(spark, sf), k=3)
+
+    def q_length_percentiles(spark, sf):
+        return textstats.length_percentiles(_docs(spark, sf))
+
+    def q_para_filter_common(spark, sf):
+        # commonness-based paragraph boilerplate drop (CCNet rule) over
+        # the same synthesized tumbling-window paragraphs as para_dedup
+        from html_qt_spark.operators.dedup import paragraph_filter_common
+        toks = F.filter(F.split("text", " "), lambda t: t != "")
+        n_last = F.greatest(
+            F.floor((F.size(toks) - 1) / 10).cast("int"), F.lit(0))
+        paras = _docs(spark, sf).select(
+            "doc_id",
+            F.concat_ws("\n\n", F.transform(
+                F.sequence(F.lit(0), n_last),
+                lambda i: F.concat_ws(" ", F.slice(toks, i * 10 + 1, 10)))
+            ).alias("text"))
+        out = paragraph_filter_common(paras, max_doc_freq=2)
+        return out.select(
+            "doc_id", "n_paras", "n_kept", "n_dropped",
+            F.substring(F.md5("clean_text"), 1, 8).alias("fp8"))
+
     def q_nfc_normalize(spark, sf):
         # NFC normalization (the DuckDB-portable slice; NFKC is pinned by
         # pytest).  A decomposed suffix (e+U+0301, U+212B, A+U+030A) is
@@ -440,6 +464,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnowing": q_winnowing,
         "nfc_normalize": q_nfc_normalize,
         "para_dedup": q_para_dedup,
+        "para_filter_common": q_para_filter_common,
+        "tfidf_top": q_tfidf_top,
+        "length_percentiles": q_length_percentiles,
         "extract_doc": q_extract_doc,
         "extract_exploded": q_extract_exploded,
         "extract_compat": q_extract_compat,
@@ -889,6 +916,58 @@ def oracle_sql() -> dict[str, str]:
             "CAST(json_extract(meta, '$.n') AS BIGINT) AS n_x, "
             "json_extract_string(meta, '$.source') AS source_x FROM j"),
         "ngram_jaccard": _NGRAM_JACCARD_ORACLE,
+        "tfidf_top": (
+            "WITH toks AS (SELECT doc_id, unnest(list_filter("
+            "string_split(text, ' '), x -> x <> '')) AS term "
+            "FROM documents), "
+            "tf AS (SELECT doc_id, term, count(*) AS tf FROM toks "
+            "GROUP BY doc_id, term), "
+            "df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks "
+            "GROUP BY term), "
+            "nd AS (SELECT count(DISTINCT doc_id) AS n_docs "
+            "FROM documents), "
+            "scored AS (SELECT tf.doc_id, tf.term, "
+            "tf.tf * ln((nd.n_docs + 1) * 1.0 / (df.df + 1)) AS score "
+            "FROM tf JOIN df USING (term), nd), "
+            "ranked AS (SELECT doc_id, term, score, row_number() OVER "
+            "(PARTITION BY doc_id ORDER BY score DESC, term) AS rank "
+            "FROM scored) "
+            "SELECT doc_id, term, CAST(rank AS BIGINT) AS rank, "
+            "CAST(floor(round(score, 6) * 1000) AS BIGINT) AS score_x1000 "
+            "FROM ranked WHERE rank <= 3"),
+        "length_percentiles": (
+            "SELECT lang, count(*) AS n_docs, "
+            "CAST(floor(round(quantile_cont(n_chars, 0.5), 6) * 10) "
+            "AS BIGINT) AS p50_x10, "
+            "CAST(floor(round(quantile_cont(n_chars, 0.9), 6) * 10) "
+            "AS BIGINT) AS p90_x10, "
+            "CAST(floor(round(quantile_cont(n_chars, 0.99), 6) * 10) "
+            "AS BIGINT) AS p99_x10 "
+            "FROM documents GROUP BY lang"),
+        "para_filter_common": (
+            "WITH ts AS (SELECT doc_id, list_filter(string_split(text, ' '), "
+            "x -> x <> '') AS toks FROM documents), "
+            "p AS (SELECT doc_id, toks, unnest(range(0, "
+            "CAST(greatest(floor((len(toks) - 1) / 10.0), 0) AS BIGINT) + 1"
+            ")) AS i FROM ts), "
+            "paras AS (SELECT doc_id, CAST(i AS INT) AS para_idx, "
+            "array_to_string(toks[i*10+1 : i*10+10], ' ') AS para FROM p), "
+            "ne AS (SELECT * FROM paras WHERE length(para) >= 1), "
+            "common AS (SELECT md5(para) AS fp FROM ne "
+            "GROUP BY md5(para) HAVING count(DISTINCT doc_id) >= 2), "
+            "kept AS (SELECT ne.* FROM ne "
+            "WHERE md5(para) NOT IN (SELECT fp FROM common)), "
+            "ka AS (SELECT doc_id, string_agg(para, chr(10) || chr(10) "
+            "ORDER BY para_idx) AS clean_text, count(*) AS n_kept "
+            "FROM kept GROUP BY doc_id), "
+            "tot AS (SELECT doc_id, count(*) AS n_paras FROM ne "
+            "GROUP BY doc_id) "
+            "SELECT t.doc_id, t.n_paras, "
+            "CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept, "
+            "CAST(t.n_paras - coalesce(k.n_kept, 0) AS BIGINT) "
+            "AS n_dropped, "
+            "substr(md5(coalesce(k.clean_text, '')), 1, 8) AS fp8 "
+            "FROM tot t LEFT JOIN ka k USING (doc_id)"),
         "nfc_normalize": (
             "WITH s AS (SELECT doc_id, text || ' cafe' || chr(769) || ' ' "
             "|| chr(8491) || ' A' || chr(778) AS raw FROM documents), "

@@ -259,6 +259,53 @@ def paragraph_dedup(docs: DataFrame, *, sep_rx: str = r"\n{2,}",
                      - F.coalesce("n_kept", F.lit(0))).alias("n_dropped")))
 
 
+def paragraph_filter_common(docs: DataFrame, *, max_doc_freq: int = 2,
+                            sep_rx: str = r"\n{2,}",
+                            join_sep: str = "\n\n",
+                            text_col: str = "text",
+                            id_col: str = "doc_id",
+                            min_para_chars: int = 1) -> DataFrame:
+    """Drop paragraphs that occur in ``max_doc_freq``-or-more DISTINCT
+    documents — CCNet's actual boilerplate rule (commonness, not
+    first-wins): a cookie banner on 10^6 pages is boilerplate everywhere
+    including its first occurrence, which :func:`paragraph_dedup` would
+    keep.  Within-document repeats of a non-common paragraph survive.
+
+    Plan: explode → distinct-doc count per md5(para) (one keyed shuffle
+    with partial agg) → anti-join-style filter → groupBy(doc_id)
+    reassembly.  All JVM-side.
+
+    Returns (id_col, clean_text, n_paras, n_kept, n_dropped), one row
+    per document with >= 1 non-empty paragraph.
+    """
+    paras = (docs.select(
+                id_col,
+                F.posexplode(F.split(text_col, sep_rx))
+                .alias("para_idx", "para"))
+             .where(F.length("para") >= min_para_chars)
+             .withColumn("_fp", F.md5("para")))
+    common = (paras.groupBy("_fp")
+              .agg(F.countDistinct(id_col).alias("_df"))
+              .where(F.col("_df") >= max_doc_freq)
+              .select("_fp"))
+    kept = paras.join(common, "_fp", "left_anti")
+    kept_agg = (kept.groupBy(id_col)
+                .agg(F.concat_ws(
+                        join_sep,
+                        F.sort_array(
+                            F.collect_list(F.struct("para_idx", "para")))
+                        .getField("para")).alias("clean_text"),
+                     F.count("*").alias("n_kept")))
+    totals = paras.groupBy(id_col).agg(F.count("*").alias("n_paras"))
+    return (totals.join(kept_agg, id_col, "left")
+            .select(id_col,
+                    F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+                    F.col("n_paras"),
+                    F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+                    (F.col("n_paras")
+                     - F.coalesce("n_kept", F.lit(0))).alias("n_dropped")))
+
+
 def connected_components(pairs: DataFrame, *, max_iter: int = 20
                          ) -> DataFrame:
     """(doc_a, doc_b) candidate-pair edges -> (doc_id, component_id):

@@ -197,6 +197,75 @@ def winnowing_fingerprints(docs: DataFrame, *, k: int = 5,
             .distinct())
 
 
+def tfidf_top_terms(docs: DataFrame, *, k: int = 3,
+                    min_df: int = 1) -> DataFrame:
+    """Per-document top-k terms by tf-idf — the classic keyword /
+    topic-signal extractor over a corpus (salton-style ltc weighting
+    simplified to tf * ln((N+1)/(df+1)), smooth idf).
+
+    All JVM-side: one explode, tf agg, df agg (both map-side partial),
+    a broadcastable 1-row corpus count, and a per-doc top-k window —
+    the window shuffle is keyed on doc_id so it scales like any
+    doc-keyed agg at 10^12 docs; the term-df table is corpus-vocabulary
+    sized (bounded), NOT corpus sized.
+
+    Deterministic output: score_x1000 = floor(round(tf*idf, 6) * 1000)
+    (the entropy-operator trick — identical libm doubles in Spark and
+    DuckDB, round(6) absorbing summation-order jitter), ties broken by
+    term text.  Returns (doc_id, term, rank, score_x1000).
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = (toks.select("doc_id", "term").distinct()
+          .groupBy("term").agg(F.count("*").alias("df"))
+          .where(F.col("df") >= min_df))
+    n_docs = docs.select(
+        F.countDistinct("doc_id").alias("n_docs"))
+    scored = (tf.join(df, "term")
+              .crossJoin(F.broadcast(n_docs))
+              .withColumn(
+                  "score",
+                  F.col("tf") * F.log((F.col("n_docs") + 1)
+                                      / (F.col("df") + 1))))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term"))
+    return (scored
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("doc_id", "term",
+                    F.col("rank").cast("long").alias("rank"),
+                    F.floor(F.round("score", 6) * 1000)
+                    .cast("long").alias("score_x1000")))
+
+
+def length_percentiles(docs: DataFrame, *, by: str = "lang",
+                       value_col: str = "n_chars") -> DataFrame:
+    """Exact per-group length percentiles (p50/p90/p99, linear
+    interpolation) — the distribution sanity check every corpus build
+    records per shard/language before training.
+
+    Uses Spark's exact ``percentile`` aggregate (sort-based within
+    group; at 10^12 rows switch to approx_percentile — this exact
+    variant exists because the DuckDB oracle demands bit-equality,
+    quantile_cont uses the same linear interpolation).  One keyed
+    shuffle with map-side partial.  Values floored x10 for
+    float-drift-free comparison.
+    """
+    def pct(p: float, name: str):
+        return F.floor(
+            F.round(F.percentile(F.col(value_col), F.lit(p)), 6) * 10
+        ).cast("long").alias(name)
+
+    return (docs.groupBy(by)
+            .agg(F.count("*").alias("n_docs"),
+                 pct(0.5, "p50_x10"), pct(0.9, "p90_x10"),
+                 pct(0.99, "p99_x10")))
+
+
 def fingerprint(docs: DataFrame) -> DataFrame:
     """(doc_id, fp64, fp8): content fingerprints — xxhash64 for fast
     clustering keys, md5 prefix for portable joins with external systems."""

@@ -14,9 +14,14 @@ def get_spark(app: str = "html_qt_spark", *, cpus: int | None = None,
 
     - AQE on: post-shuffle coalescing + skew-join splitting for free.
     - Arrow batch capped (north_rule skew note, SURVEY.md §4.1): one Arrow
-      batch of mega-documents must fit in a Python worker; 2048 rows
-      balances roundtrip overhead (measured +14% docs/sec over 256) against
-      worst-case batch memory — drop this if mega-docs exceed ~1MB each.
+      batch of documents must fit in a Python worker.  8192 rows measured
+      +21% docs/sec over 2048 and +5% over 4096 after the r3 kernel
+      speedups (faster kernel -> roundtrip overhead dominates sooner).
+      Worst-case batch memory = maxRecordsPerBatch x the largest span a
+      pipeline admits: with extract's max_span_bytes quarantine and
+      chunk_split_exploded in front, spans are bounded and 8192 is safe;
+      for corpora with unbounded raw docs and no oversize guard, drop to
+      2048 (env SPARK_GRAFT_ARROW_BATCH).
     - shuffle.partitions sized to cores (not the 200 default) so the
       window/groupBy stages don't fragment at small scale; at cluster
       scale this is set to 2-3x total cores by the submitter.
@@ -37,7 +42,7 @@ def get_spark(app: str = "html_qt_spark", *, cpus: int | None = None,
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch",
-                os.environ.get("SPARK_GRAFT_ARROW_BATCH", "2048"))
+                os.environ.get("SPARK_GRAFT_ARROW_BATCH", "8192"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory",

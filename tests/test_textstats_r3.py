@@ -1,0 +1,98 @@
+"""Round-3 corpus-analytics operators: tf-idf top terms, exact length
+percentiles, commonness-based paragraph boilerplate filter."""
+
+from __future__ import annotations
+
+import math
+import sys
+from pathlib import Path
+
+import pytest
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from html_qt_spark.plans.session import get_spark
+
+    s = get_spark(cpus=4, shuffle_partitions=8)
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+
+
+def test_tfidf_prefers_rare_terms(spark):
+    from html_qt_spark.operators.textstats import tfidf_top_terms
+
+    rows = [
+        (1, "common common common zebra"),
+        (2, "common words here and there"),
+        (3, "common words appear everywhere daily"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {(r.doc_id, r.rank): (r.term, r.score_x1000)
+           for r in tfidf_top_terms(docs, k=2).collect()}
+    # doc 1's top term is the corpus-unique 'zebra', not the 3x 'common'
+    assert got[(1, 1)][0] == "zebra"
+    # zebra: tf=1, df=1, N=3 -> ln(4/2) = ln 2
+    assert got[(1, 1)][1] == math.floor(round(math.log(2), 6) * 1000)
+    # 'common' appears in every doc -> idf = ln(4/4) = 0 -> score 0
+    common_scores = [v[1] for v in got.values() if v[0] == "common"]
+    assert all(s == 0 for s in common_scores)
+
+
+def test_tfidf_rank_ties_break_by_term(spark):
+    from html_qt_spark.operators.textstats import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [(1, "beta alpha"), (2, "unrelated stuff")], ["doc_id", "text"])
+    got = [(r.rank, r.term)
+           for r in tfidf_top_terms(docs, k=2)
+           .where("doc_id = 1").orderBy("rank").collect()]
+    # equal tf/df -> equal score -> alphabetical tiebreak
+    assert got == [(1, "alpha"), (2, "beta")]
+
+
+def test_length_percentiles_exact(spark):
+    from html_qt_spark.operators.textstats import length_percentiles
+
+    rows = [("en", float(v)) for v in (10, 20, 30, 40, 50)] \
+        + [("fr", 100.0)]
+    docs = spark.createDataFrame(rows, ["lang", "n_chars"])
+    got = {r.lang: r for r in length_percentiles(docs).collect()}
+    assert got["en"].n_docs == 5
+    assert got["en"].p50_x10 == 300           # median 30
+    # p90 over 5 points, linear interpolation: i = 0.9*4 = 3.6 -> 46
+    assert got["en"].p90_x10 == 460
+    assert got["fr"].p50_x10 == got["fr"].p99_x10 == 1000
+
+
+def test_paragraph_filter_common_drops_boilerplate_everywhere(spark):
+    """Unlike first-wins dedup, the commonness rule drops the shared
+    banner from EVERY document including the first."""
+    from html_qt_spark.operators.dedup import paragraph_filter_common
+
+    banner = "accept cookies to continue"
+    rows = [
+        (1, f"{banner}\n\nunique alpha prose"),
+        (2, f"{banner}\n\nunique beta prose"),
+        (3, "no banner here at all"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r for r in
+           paragraph_filter_common(docs, max_doc_freq=2).collect()}
+    assert got[1].clean_text == "unique alpha prose"
+    assert got[2].clean_text == "unique beta prose"
+    assert got[3].clean_text == "no banner here at all"
+    assert got[1].n_dropped == got[2].n_dropped == 1
+
+
+def test_paragraph_filter_common_keeps_within_doc_repeats(spark):
+    from html_qt_spark.operators.dedup import paragraph_filter_common
+
+    # the same paragraph twice in ONE doc is 1 distinct doc -> kept
+    docs = spark.createDataFrame(
+        [(1, "twice\n\ntwice\n\nother")], ["doc_id", "text"])
+    got = paragraph_filter_common(docs, max_doc_freq=2).collect()[0]
+    assert got.clean_text == "twice\n\ntwice\n\nother"
+    assert got.n_dropped == 0
