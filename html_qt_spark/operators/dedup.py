@@ -110,13 +110,17 @@ def minhash_lsh_pairs(docs: DataFrame, *, num_hashes: int = 16,
     buckets = sig.select(
         "doc_id", F.explode(F.array(*band_cols)).alias("bb")
     ).select("doc_id", "bb.band", "bb.bucket")
-    bucket_ok = (
-        buckets.groupBy("band", "bucket")
-        .agg(F.count("*").alias("_n"))
-        .where(F.col("_n").between(2, max_docs_per_bucket))
-        .select("band", "bucket")
-    )
-    capped = buckets.join(bucket_ok, ["band", "bucket"])
+    # cap via a count window over (band, bucket): ONE shuffle of the
+    # bucket table instead of two (count agg + semi-join back), and the
+    # self-join below reuses the same hashpartitioning so it adds no
+    # further Exchange.  A degenerate bucket's rows land in one window
+    # partition, which is exactly the same placement the join shuffle
+    # would produce — no new skew exposure, and the cap then drops it.
+    w_bucket = Window.partitionBy("band", "bucket")
+    capped = (buckets
+              .withColumn("_n", F.count("*").over(w_bucket))
+              .where(F.col("_n").between(2, max_docs_per_bucket))
+              .drop("_n"))
     a = capped.alias("a")
     b = capped.alias("b")
     return (
