@@ -224,6 +224,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                            token_budget=2000).select("doc_id", "n_tokens",
                                                      "shard_id")
 
+    def q_decontaminate(spark, sf):
+        # benchmark = every 50th doc (a synthesized "eval suite" that is
+        # genuinely IN the corpus, the exact leakage scenario); the
+        # benchmark shingle set is the one correctly-broadcast side
+        from html_qt_spark.operators.curation import decontaminate
+        docs = _docs(spark, sf)
+        bench = docs.where(F.col("doc_id") % 50 == 0)
+        return decontaminate(docs, bench, n=3)
+
+    def q_cap_per_source(spark, sf):
+        # per-domain cap with the skew-proof two-phase window (pre-cap
+        # within (source, hash%4) provably preserves the global top-20)
+        from html_qt_spark.operators.curation import cap_per_group
+        return (cap_per_group(_docs(spark, sf), group_col="source",
+                              max_per_group=20, salt="r3cap",
+                              hash_fn="md5_32", pre_salt_buckets=4)
+                .select("doc_id", "source"))
+
+    def q_temperature_sample(spark, sf):
+        # alpha=0.5 multilingual rebalancing; sqrt-rate path is
+        # bit-reproducible cross-engine (correctly-rounded IEEE sqrt)
+        from html_qt_spark.operators.curation import temperature_sample
+        return (temperature_sample(_docs(spark, sf), group_col="lang",
+                                   alpha=0.5, salt="r3temp",
+                                   hash_fn="md5_32")
+                .select("doc_id", "lang"))
+
     def q_repetition(spark, sf):
         return textstats.repetition_score(_docs(spark, sf))
 
@@ -458,6 +485,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scrub_pii": q_scrub_pii,
         "hash_sample": q_hash_sample,
         "pack_shards": q_pack_shards,
+        "decontaminate": q_decontaminate,
+        "cap_per_source": q_cap_per_source,
+        "temperature_sample": q_temperature_sample,
         "repetition": q_repetition,
         "entropy": q_entropy,
         "json_meta": q_json_meta,
@@ -883,6 +913,45 @@ def oracle_sql() -> dict[str, str]:
             "CAST(floor(coalesce(sum(n_tokens) OVER (ORDER BY doc_id "
             "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
             "/ 2000) AS BIGINT) AS shard_id FROM tc"),
+        "decontaminate": (
+            "WITH ts AS (SELECT doc_id, list_filter(string_split(text, ' '), "
+            "x -> x <> '') AS toks FROM documents), "
+            "pos AS (SELECT doc_id, toks, "
+            "unnest(range(1, greatest(len(toks) - 2, 0) + 1)) AS i FROM ts), "
+            "sh AS (SELECT DISTINCT doc_id, "
+            "array_to_string(toks[i:i+2], ' ') AS shingle FROM pos), "
+            "bench AS (SELECT DISTINCT shingle FROM sh "
+            "WHERE doc_id % 50 = 0), "
+            "sizes AS (SELECT doc_id, count(*) AS n_shingles FROM sh "
+            "GROUP BY doc_id), "
+            "hits AS (SELECT doc_id, count(*) AS n_contaminated "
+            "FROM sh JOIN bench USING (shingle) GROUP BY doc_id) "
+            "SELECT s.doc_id, s.n_shingles, "
+            "coalesce(h.n_contaminated, 0) AS n_contaminated, "
+            "round(coalesce(h.n_contaminated, 0) / s.n_shingles, 3) "
+            "AS overlap_frac, "
+            "coalesce(h.n_contaminated, 0) >= 1 AS contaminated "
+            "FROM sizes s LEFT JOIN hits h ON s.doc_id = h.doc_id"),
+        "cap_per_source": (
+            # single-window form: provably identical to the two-phase
+            # pre-capped plan the Spark side runs (see cap_per_group)
+            "WITH pri AS (SELECT doc_id, source, "
+            "('0x' || substr(md5('r3cap:' || CAST(doc_id AS STRING)), "
+            "1, 8))::BIGINT AS p FROM documents), "
+            "r AS (SELECT doc_id, source, row_number() OVER "
+            "(PARTITION BY source ORDER BY p, doc_id) AS rn FROM pri) "
+            "SELECT doc_id, source FROM r WHERE rn <= 20"),
+        "temperature_sample": (
+            "WITH c AS (SELECT lang, count(*) AS n FROM documents "
+            "GROUP BY lang), "
+            "mn AS (SELECT min(n) AS min_n FROM c), "
+            "rates AS (SELECT lang, "
+            "sqrt(CAST(min_n AS DOUBLE) / n) AS rate FROM c, mn) "
+            "SELECT d.doc_id, d.lang FROM documents d "
+            "JOIN rates r USING (lang) "
+            "WHERE ('0x' || substr(md5('r3temp:' || "
+            "CAST(doc_id AS STRING)), 1, 8))::BIGINT % 1000000 "
+            "< CAST(floor(rate * 1000000) AS BIGINT)"),
         "repetition": (
             "WITH ts AS (SELECT doc_id, list_filter(string_split(text, ' '), "
             "x -> x <> '') AS toks FROM documents), "

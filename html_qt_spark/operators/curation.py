@@ -41,6 +41,122 @@ def hash_sample(docs: DataFrame, *, rate: float, salt: str = "s0",
         _id_hash(id_col, salt, hash_fn) % m < int(rate * m))
 
 
+def decontaminate(docs: DataFrame, benchmark: DataFrame, *,
+                  n: int = 3, min_overlap: int = 1,
+                  id_col: str = "doc_id") -> DataFrame:
+    """Benchmark decontamination: flag training documents whose word
+    ``n``-gram sets overlap an evaluation/benchmark set (the standard
+    leakage check run before every pre-training job — GPT-3 App. C /
+    PaLM / Llama all describe this exact n-gram-collision form).
+
+    Plan shape at 10^12 docs: the benchmark side is an eval suite —
+    thousands of documents, not a crawl — so its distinct shingle set is
+    genuinely broadcast-sized and ``F.broadcast`` is CORRECT here (the
+    one join in this module where forcing it is right, in contrast to
+    the corpus-sized sides deliberately left to AQE in
+    :mod:`html_qt_spark.operators.dedup`).  The corpus side is one
+    narrow explode + a broadcast-join filter + one groupBy(doc) — no
+    corpus self-join anywhere.  For a benchmark too big to broadcast,
+    drop the hint and the identical plan degrades to a shuffle join.
+
+    Returns (id_col, n_shingles, n_contaminated, overlap_frac,
+    contaminated) — one row per document with >= 1 shingle; docs shorter
+    than ``n`` tokens have no shingles and are vacuously clean (absent).
+    """
+    from .dedup import shingles
+
+    doc_sh = shingles(docs, n=n).distinct()
+    bench_sh = (shingles(benchmark.select(F.col(id_col).alias("doc_id"),
+                                          "text"), n=n)
+                .select("shingle").distinct())
+    sizes = doc_sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
+    hits = (doc_sh.join(F.broadcast(bench_sh), "shingle")
+            .groupBy(id_col).agg(F.count("*").alias("n_contaminated")))
+    return (sizes.join(hits, id_col, "left")
+            .select(id_col, "n_shingles",
+                    F.coalesce("n_contaminated", F.lit(0))
+                    .alias("n_contaminated"),
+                    F.round(F.coalesce("n_contaminated", F.lit(0))
+                            / F.col("n_shingles"), 3).alias("overlap_frac"),
+                    (F.coalesce("n_contaminated", F.lit(0))
+                     >= min_overlap).alias("contaminated")))
+
+
+def cap_per_group(docs: DataFrame, *, group_col: str = "source",
+                  max_per_group: int = 100, id_col: str = "doc_id",
+                  salt: str = "cap", hash_fn: str = "xxhash64",
+                  pre_salt_buckets: int = 16) -> DataFrame:
+    """Keep at most ``max_per_group`` documents per ``group_col`` value
+    (per-domain caps — the CommonCrawl curation rule that stops one
+    mega-domain from dominating the corpus), selected by a deterministic
+    pseudo-random priority hash(salt || id) so the kept subset is an
+    unbiased sample, reproducible across reruns and cluster layouts.
+
+    Skew is the whole problem at scale: a naive
+    ``Window.partitionBy(group)`` funnels a 10^9-page domain through one
+    task.  Two-phase cap: rows are first bucketed by
+    hash % ``pre_salt_buckets`` and capped at ``max_per_group`` WITHIN
+    (group, bucket) — the hot group's sort spreads over
+    ``pre_salt_buckets`` tasks and survivors shrink to at most
+    buckets*max rows per group — then the exact top-``max_per_group``
+    window runs over survivors only.  EXACTLY equivalent to the single
+    global window: the group-wide top-N by (priority, id) is contained
+    in the union of per-bucket top-Ns (any row in the group's top N is
+    a fortiori in its own bucket's top N), so the pre-cap never drops a
+    winner.  ``pre_salt_buckets=0`` disables the pre-pass.
+
+    Returns the input columns of the kept rows (no rank column).
+    """
+    pri = _id_hash(id_col, salt, hash_fn)
+    out = docs
+    if pre_salt_buckets:
+        wb = (Window.partitionBy(group_col, pri % pre_salt_buckets)
+              .orderBy(pri.asc(), F.col(id_col).asc()))
+        out = (out.withColumn("_prn", F.row_number().over(wb))
+               .where(F.col("_prn") <= max_per_group).drop("_prn"))
+    w = (Window.partitionBy(group_col)
+         .orderBy(pri.asc(), F.col(id_col).asc()))
+    return (out.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= max_per_group).drop("_rn"))
+
+
+def temperature_sample(docs: DataFrame, *, group_col: str = "lang",
+                       alpha: float = 0.5, id_col: str = "doc_id",
+                       salt: str = "temp",
+                       hash_fn: str = "xxhash64") -> DataFrame:
+    """Temperature-based group rebalancing: keep each group with
+    probability rate_g = (n_min / n_g)^(1-alpha), so expected kept
+    counts are proportional to n_g^alpha (multilingual sampling a la
+    mBERT/XLM-R exponent-smoothing; alpha=1 keeps everything, alpha=0
+    flattens every group to ~n_min).  Selection is the same
+    deterministic hash(salt || id) filter as :func:`hash_sample` — no
+    RNG, layout-independent.
+
+    Plan: one tiny groupBy for counts (one row per group — languages or
+    domain classes, genuinely broadcast-sized), broadcast-joined back,
+    then a narrow filter.  No corpus shuffle at all.
+
+    alpha=0.5 computes the rate via sqrt (IEEE-correctly-rounded in
+    every engine) so the kept set is bit-reproducible cross-engine;
+    other alphas use pow (1-ulp engine variance possible at the
+    keep/drop boundary — fine in production, avoided in the oracle).
+    """
+    counts = docs.groupBy(group_col).agg(F.count("*").alias("_n"))
+    min_n = counts.agg(F.min("_n").alias("_min_n"))
+    ratio = F.col("_min_n") / F.col("_n")
+    if abs(alpha - 0.5) < 1e-12:
+        rate = F.sqrt(ratio)
+    else:
+        rate = F.pow(ratio, F.lit(1.0 - alpha))
+    rates = (counts.crossJoin(F.broadcast(min_n))
+             .select(group_col, rate.alias("_rate")))
+    m = 1_000_000
+    return (docs.join(F.broadcast(rates), group_col)
+            .where(_id_hash(id_col, salt, hash_fn) % m
+                   < (F.col("_rate") * m).cast("long"))
+            .drop("_rate"))
+
+
 def pack_shards(docs: DataFrame, *, token_budget: int,
                 tokens_col: str = "n_tokens",
                 id_col: str = "doc_id",

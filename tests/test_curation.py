@@ -130,3 +130,68 @@ def test_scrub_pii(spark):
     assert (got[1].n_urls, got[1].n_emails, got[1].n_phones) == (1, 1, 1)
     assert got[2].clean_text == "no pii here at all"
     assert got[3].clean_text == "link <URL> end"
+
+
+def test_decontaminate_flags_overlap_only(spark):
+    from html_qt_spark.operators.curation import decontaminate
+
+    docs = spark.createDataFrame([
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "completely unrelated prose with no shared trigrams here"),
+        (3, "contains the quick brown fox phrase verbatim inside"),
+        (4, "too short"),  # < n tokens -> no shingles -> absent
+    ], ["doc_id", "text"])
+    bench = spark.createDataFrame(
+        [(100, "quick brown fox jumps")], ["doc_id", "text"])
+    got = {r.doc_id: r for r in decontaminate(docs, bench, n=3).collect()}
+    assert got[1].contaminated and got[1].n_contaminated == 2
+    assert not got[2].contaminated and got[2].n_contaminated == 0
+    assert got[3].contaminated  # shares "the quick brown" etc.
+    assert 4 not in got  # vacuously clean (no shingles)
+    assert 0 < got[1].overlap_frac <= 1.0
+
+
+def test_cap_per_group_two_phase_equals_global(spark):
+    from pyspark.sql import functions as F
+
+    from html_qt_spark.operators.curation import cap_per_group
+
+    # skewed fixture: group "big" holds 300 rows, "small" holds 4
+    docs = spark.createDataFrame(
+        [(i, "big" if i < 300 else "small") for i in range(304)],
+        ["doc_id", "source"])
+    kept_2p = cap_per_group(docs, group_col="source", max_per_group=5,
+                            pre_salt_buckets=8)
+    kept_1p = cap_per_group(docs, group_col="source", max_per_group=5,
+                            pre_salt_buckets=0)
+    a = {(r.doc_id, r.source) for r in kept_2p.collect()}
+    b = {(r.doc_id, r.source) for r in kept_1p.collect()}
+    assert a == b  # pre-cap provably never drops a global winner
+    per_group = {r.source: r.n for r in
+                 kept_2p.groupBy("source").agg(F.count("*").alias("n"))
+                 .collect()}
+    assert per_group == {"big": 5, "small": 4}  # cap + keep-all-small
+
+
+def test_temperature_sample_rates(spark):
+    from html_qt_spark.operators.curation import temperature_sample
+
+    # 400 "en" vs 25 "fi": alpha=0.5 keeps ~sqrt(25/400)=25% of en,
+    # 100% of fi (the min group's rate is exactly 1)
+    docs = spark.createDataFrame(
+        [(i, "en" if i < 400 else "fi") for i in range(425)],
+        ["doc_id", "lang"])
+    kept = temperature_sample(docs, group_col="lang", alpha=0.5).collect()
+    by_lang = {}
+    for r in kept:
+        by_lang.setdefault(r.lang, set()).add(r.doc_id)
+    assert len(by_lang["fi"]) == 25  # min group fully kept
+    assert 60 <= len(by_lang["en"]) <= 140  # ~100 expected
+    # deterministic: a rerun picks the identical set
+    again = {r.doc_id for r in
+             temperature_sample(docs, group_col="lang", alpha=0.5)
+             .collect() if r.lang == "en"}
+    assert again == by_lang["en"]
+    # alpha=1 is a no-op
+    allk = temperature_sample(docs, group_col="lang", alpha=1.0).count()
+    assert allk == 425
