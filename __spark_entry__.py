@@ -439,6 +439,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return ann.select("vec_id", F.row_number().over(w).cast("long")
                           .alias("rank"))
 
+    def q_ivf_topk(spark, sf):
+        # IVF-style ANN (hash-seeded coarse quantizer, 2-probe); rank
+        # output only so the compare is float-drift-free, md5_32 seeds
+        # for DuckDB reproducibility
+        ivf = similarity.ivf_topk(_emb(spark, sf), query_vec_id=0, k=10,
+                                  n_centroids=8, n_probe=2,
+                                  hash_fn="md5_32")
+        w = Window.orderBy(F.col("cos").desc(), F.col("vec_id"))
+        return ivf.select("vec_id", F.row_number().over(w).cast("long")
+                          .alias("rank"))
+
     def q_media_decode(spark, sf):
         # feature:array<float> is quantized back to its byte form and
         # '|'-joined so the result is all-scalar (hash-comparable); the
@@ -511,6 +522,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ivf_topk": q_ivf_topk,
         "media_decode": q_media_decode,
         "frame_sample": q_frame_sample,
     }
@@ -647,6 +659,34 @@ _ANN_LSH_ORACLE = (
     "FROM cand ORDER BY list_cosine_similarity(embedding, q_emb) DESC, "
     "vec_id LIMIT 10")
 
+
+# IVF oracle: hash-seeded centroids -> argmax-cosine assignment ->
+# 2-probe -> exact re-rank, all recomputed in SQL.  Tie-breaks mirror
+# Spark exactly: assignment max(struct(sim, centroid_id)) == row_number
+# ORDER BY sim DESC, centroid_id DESC; final rank on round(cos, 6).
+_IVF_ORACLE = (
+    "WITH pri AS (SELECT vec_id, embedding, "
+    "('0x' || substr(md5('ivf:' || CAST(vec_id AS STRING)), 1, 8))"
+    "::BIGINT AS p FROM embeddings), "
+    "cents AS (SELECT vec_id AS centroid_id, embedding AS c_emb "
+    "FROM pri ORDER BY p, vec_id LIMIT 8), "
+    "sims AS (SELECT e.vec_id, c.centroid_id, "
+    "list_cosine_similarity(e.embedding::DOUBLE[], c.c_emb::DOUBLE[]) "
+    "AS sim FROM embeddings e, cents c), "
+    "assign AS (SELECT vec_id, centroid_id AS list_id FROM "
+    "(SELECT vec_id, centroid_id, row_number() OVER (PARTITION BY vec_id "
+    "ORDER BY sim DESC, centroid_id DESC) AS rn FROM sims) WHERE rn = 1), "
+    "q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0), "
+    "probe AS (SELECT centroid_id AS list_id FROM cents, q "
+    "ORDER BY list_cosine_similarity(c_emb::DOUBLE[], q_emb::DOUBLE[]) "
+    "DESC, centroid_id LIMIT 2), "
+    "cand AS (SELECT a.vec_id FROM assign a JOIN probe USING (list_id)), "
+    "s AS (SELECT e.vec_id, "
+    "round(list_cosine_similarity(e.embedding::DOUBLE[], "
+    "q.q_emb::DOUBLE[]), 6) AS cos "
+    "FROM embeddings e JOIN cand USING (vec_id), q WHERE e.vec_id <> 0) "
+    "SELECT vec_id, CAST(row_number() OVER (ORDER BY cos DESC, vec_id) "
+    "AS BIGINT) AS rank FROM s ORDER BY cos DESC, vec_id LIMIT 10")
 
 _SIMHASH_BITSUMS = ", ".join(
     f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
@@ -881,6 +921,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_components_star": _COMPONENTS_ORACLE,
         "cosine_dupes_lsh": _COSINE_DUPES_LSH_ORACLE,
         "ann_lsh_topk": _ANN_LSH_ORACLE,
+        "ivf_topk": _IVF_ORACLE,
         "media_decode": oracle_cte(_MEDIA_ORACLE_BODY),
         "frame_sample": oracle_cte(_FRAME_ORACLE_BODY),
         "simhash": _SIMHASH_ORACLE,

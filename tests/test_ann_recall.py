@@ -179,3 +179,48 @@ def test_ann_candidates_not_force_broadcast(spark):
     # <= 1+n_planes rows — genuinely tiny and hinted on purpose)
     assert "SortMergeJoin [vec_id" in plan, plan
     assert "BroadcastHashJoin [vec_id" not in plan, plan
+
+
+def test_ivf_full_probe_equals_exact(spark):
+    """Probing every list degrades IVF to the exact brute-force answer —
+    the correctness invariant of the probed-search decomposition."""
+    from html_qt_spark.operators.similarity import cosine_topk, ivf_topk
+
+    emb = _clustered_embeddings(spark, n_clusters=8, per_cluster=8)
+    for q in (0, 17, 40):
+        exact = [r.vec_id for r in cosine_topk(emb, q, 9).collect()]
+        full = [r.vec_id for r in ivf_topk(emb, q, 9, n_centroids=4,
+                                           n_probe=4).collect()]
+        assert full == exact
+
+
+def test_ivf_recall_on_planted_clusters(spark):
+    """2-of-8 probing keeps >=0.9 recall on near-dup clusters: cluster
+    members quantize to the same (or the adjacent probed) list."""
+    from html_qt_spark.operators.similarity import cosine_topk, ivf_topk
+
+    emb = _clustered_embeddings(spark)
+    recalls = []
+    for q in (0, 55, 111, 190):
+        exact = {r.vec_id for r in cosine_topk(emb, q, 9).collect()}
+        got = {r.vec_id for r in ivf_topk(emb, q, 9, n_centroids=8,
+                                          n_probe=2).collect()}
+        recalls.append(len(exact & got) / 9)
+    assert sum(recalls) / len(recalls) >= 0.9, recalls
+
+
+def test_ivf_assignment_partitions_corpus(spark):
+    """Every vector lands in exactly one list; list sizes are controlled
+    (no empty corpus-fraction blowup like an emergent LSH bucket)."""
+    from pyspark.sql import functions as F
+
+    from html_qt_spark.operators.similarity import ivf_assign, ivf_centroids
+
+    emb = _clustered_embeddings(spark, n_clusters=10, per_cluster=10)
+    cents = ivf_centroids(emb, n_centroids=5)
+    assert cents.count() == 5
+    assign = ivf_assign(emb, cents)
+    assert assign.count() == 100  # one list per vector
+    assert assign.select("vec_id").distinct().count() == 100
+    lists = {r.list_id for r in assign.select("list_id").distinct().collect()}
+    assert lists <= {r.centroid_id for r in cents.collect()}
