@@ -224,6 +224,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                            token_budget=2000).select("doc_id", "n_tokens",
                                                      "shard_id")
 
+    def q_gopher_quality(spark, sf):
+        return textstats.gopher_quality(_docs(spark, sf))
+
+    def q_unigram_logprob(spark, sf):
+        return textstats.unigram_logprob(_docs(spark, sf))
+
     def q_decontaminate(spark, sf):
         # benchmark = every 50th doc (a synthesized "eval suite" that is
         # genuinely IN the corpus, the exact leakage scenario); the
@@ -496,6 +502,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scrub_pii": q_scrub_pii,
         "hash_sample": q_hash_sample,
         "pack_shards": q_pack_shards,
+        "gopher_quality": q_gopher_quality,
+        "unigram_logprob": q_unigram_logprob,
         "decontaminate": q_decontaminate,
         "cap_per_source": q_cap_per_source,
         "temperature_sample": q_temperature_sample,
@@ -954,6 +962,49 @@ def oracle_sql() -> dict[str, str]:
             "CAST(floor(coalesce(sum(n_tokens) OVER (ORDER BY doc_id "
             "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
             "/ 2000) AS BIGINT) AS shard_id FROM tc"),
+        "gopher_quality": (
+            "WITH t AS (SELECT doc_id, text, "
+            "list_filter(string_split(text, ' '), x -> x <> '') AS toks, "
+            "string_split(text, chr(10)) AS lines FROM documents), "
+            "f AS (SELECT doc_id, "
+            "len(toks) AS n_words, "
+            "CAST(floor(list_sum(list_transform(toks, "
+            "x -> length(x))) * 100 / len(toks)) AS BIGINT) "
+            "AS mean_word_len_x100, "
+            "len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) "
+            "AS n_alpha_words, "
+            "len(regexp_extract_all(text, '#')) + "
+            "len(regexp_extract_all(text, '\\.\\.\\.')) AS n_symbols, "
+            "len(list_filter(lines, l -> l LIKE '•%' OR l LIKE '- %' "
+            "OR l LIKE '* %')) AS n_bullet_lines, "
+            "len(lines) AS n_lines, "
+            "(CASE WHEN list_contains(toks, 'the') THEN 1 ELSE 0 END + "
+            "CASE WHEN list_contains(toks, 'be') THEN 1 ELSE 0 END + "
+            "CASE WHEN list_contains(toks, 'to') THEN 1 ELSE 0 END + "
+            "CASE WHEN list_contains(toks, 'of') THEN 1 ELSE 0 END + "
+            "CASE WHEN list_contains(toks, 'and') THEN 1 ELSE 0 END + "
+            "CASE WHEN list_contains(toks, 'that') THEN 1 ELSE 0 END + "
+            "CASE WHEN list_contains(toks, 'have') THEN 1 ELSE 0 END + "
+            "CASE WHEN list_contains(toks, 'with') THEN 1 ELSE 0 END) "
+            "AS stop_hits FROM t) "
+            "SELECT doc_id, n_words, mean_word_len_x100, n_alpha_words, "
+            "n_symbols, n_bullet_lines, n_lines, stop_hits, "
+            "(n_words >= 50 AND n_words <= 100000 "
+            "AND mean_word_len_x100 >= 300 AND mean_word_len_x100 <= 1000 "
+            "AND n_symbols * 10 <= n_words "
+            "AND n_bullet_lines * 10 <= n_lines * 9 "
+            "AND n_alpha_words * 10 >= n_words * 8 "
+            "AND stop_hits >= 2) AS passes FROM f"),
+        "unigram_logprob": (
+            "WITH toks AS (SELECT doc_id, unnest(list_filter("
+            "string_split(text, ' '), x -> x <> '')) AS tok "
+            "FROM documents), "
+            "v AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok), "
+            "n AS (SELECT sum(c) AS n FROM v) "
+            "SELECT doc_id, count(*) AS n_tokens, "
+            "CAST(floor(round(sum(-ln(c * 1.0 / n.n)) / count(*), 6) "
+            "* 1000) AS BIGINT) AS logprob_x1000 "
+            "FROM toks t JOIN v USING (tok), n GROUP BY doc_id"),
         "decontaminate": (
             "WITH ts AS (SELECT doc_id, list_filter(string_split(text, ' '), "
             "x -> x <> '') AS toks FROM documents), "

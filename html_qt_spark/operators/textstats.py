@@ -143,6 +143,106 @@ def unigram_entropy(docs: DataFrame) -> DataFrame:
     )
 
 
+_GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have",
+                     "with"]
+
+
+def gopher_quality(docs: DataFrame, *, min_words: int = 50,
+                   max_words: int = 100_000,
+                   min_mean_len_x100: int = 300,
+                   max_mean_len_x100: int = 1000,
+                   min_stop_hits: int = 2) -> DataFrame:
+    """Gopher quality rules (Rae et al. 2021, App. A): the published
+    heuristic battery every major pre-training pipeline reuses —
+    word-count bounds, mean-word-length band [3,10], symbol-to-word
+    ratio (# and ellipses) <= 0.1, bullet-line ratio <= 0.9, >= 80% of
+    words containing an alphabetic char, and >= 2 distinct hits from the
+    8-word stop list.
+
+    Every rule is a per-row ARRAY expression — split/filter/aggregate on
+    the token array, no explode, no shuffle, nothing but a narrow
+    projection: the whole filter runs inside one whole-stage-codegen
+    scan even at 10^12 docs.  Ratio comparisons are integer
+    cross-multiplications (n_alpha*10 >= n_words*8) so the pass/fail
+    bits are bit-identical on any engine — no float thresholds.
+
+    Returns (doc_id, n_words, mean_word_len_x100, n_alpha_words,
+    n_symbols, n_bullet_lines, n_lines, stop_hits, passes).
+    """
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    n_words = F.size(toks)
+    tok_chars = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)),
+        F.lit(0), lambda acc, v: acc + v)
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+    n_symbols = (F.coalesce(F.regexp_count("text", F.lit("#")), F.lit(0))
+                 + F.coalesce(F.regexp_count("text", F.lit(r"\.\.\.")),
+                              F.lit(0)))
+    lines = F.split("text", "\n")
+    n_lines = F.size(lines)
+    n_bullet = F.size(F.filter(
+        lines, lambda ln: ln.startswith("•") | ln.startswith("- ")
+        | ln.startswith("* ")))
+    stop_hits = None
+    for w in _GOPHER_STOPWORDS:
+        hit = F.array_contains(toks, w).cast("int")
+        stop_hits = hit if stop_hits is None else stop_hits + hit
+    base = docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.floor(tok_chars * 100 / n_words).cast("long")
+        .alias("mean_word_len_x100"),
+        n_alpha.alias("n_alpha_words"),
+        n_symbols.alias("n_symbols"),
+        n_bullet.alias("n_bullet_lines"),
+        n_lines.alias("n_lines"),
+        stop_hits.alias("stop_hits"),
+    )
+    passes = (
+        (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words)
+        & (F.col("mean_word_len_x100") >= min_mean_len_x100)
+        & (F.col("mean_word_len_x100") <= max_mean_len_x100)
+        & (F.col("n_symbols") * 10 <= F.col("n_words"))
+        & (F.col("n_bullet_lines") * 10 <= F.col("n_lines") * 9)
+        & (F.col("n_alpha_words") * 10 >= F.col("n_words") * 8)
+        & (F.col("stop_hits") >= min_stop_hits)
+    )
+    return base.withColumn("passes", passes)
+
+
+def unigram_logprob(docs: DataFrame) -> DataFrame:
+    """Corpus-trained unigram LM score: avg -ln p(tok) per document,
+    p estimated from the corpus itself — the shuffle-cheap stand-in for
+    CCNet's KenLM perplexity filter (an external LM is a model artifact;
+    the unigram self-estimate needs none and ranks documents the same
+    way for the templated-vs-prose split).  High score = rare-token-heavy
+    (jargon/noise); low = stopword-heavy boilerplate.
+
+    Plan: one vocab aggregation (Zipf-bounded — token types grow
+    ~O(corpus^0.5), vastly sub-corpus), a token->vocab join AQE
+    broadcasts when the vocab side fits (hash join otherwise), one
+    groupBy(doc).  logprob_x1000 is floor(round(.,6)*1000) — the same
+    drift-absorbing integerization the entropy oracle uses.
+    Returns (doc_id, n_tokens, logprob_x1000).
+    """
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    total = vocab.agg(F.sum("c").alias("n"))
+    return (
+        toks.join(vocab, "tok").crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_tokens"),
+             F.sum(-F.log(F.col("c") / F.col("n"))).alias("lp"))
+        .select("doc_id",
+                F.col("n_tokens").cast("long").alias("n_tokens"),
+                F.floor(F.round(F.col("lp") / F.col("n_tokens"), 6)
+                        * 1000).cast("long").alias("logprob_x1000"))
+    )
+
+
 def regex_token_count(docs: DataFrame) -> DataFrame:
     """(doc_id, n_regex_tokens): BPE-ish pre-tokenization count, JVM-side
     via regexp_count (no Python)."""

@@ -96,3 +96,40 @@ def test_paragraph_filter_common_keeps_within_doc_repeats(spark):
     got = paragraph_filter_common(docs, max_doc_freq=2).collect()[0]
     assert got.clean_text == "twice\n\ntwice\n\nother"
     assert got.n_dropped == 0
+
+
+def test_gopher_quality_rules(spark):
+    from html_qt_spark.operators.textstats import gopher_quality
+
+    prose = ("the quick brown fox and the lazy dog have been seen with "
+             "many other animals that wander over fields of green grass "
+             "while the sun sets slowly behind distant hills casting "
+             "long shadows that stretch to the edge of the quiet village "
+             "where people gather to share stories of the day") # 50+ words
+    rows = [
+        (1, prose),
+        (2, "short doc"),                                # < 50 words
+        (3, " ".join(["####"] * 60)),                    # symbols, no alpha
+        (4, "\n".join(["- bullet point here"] * 10)),    # all bullets
+        (5, " ".join(["zq"] * 60)),                      # no stopwords, len 2
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r for r in gopher_quality(docs).collect()}
+    assert got[1].passes
+    assert got[1].stop_hits >= 2 and got[1].n_words >= 50
+    assert not got[2].passes            # word-count floor
+    assert not got[3].passes            # symbol ratio + alpha fraction
+    assert got[4].n_bullet_lines == 10 and not got[4].passes
+    assert not got[5].passes            # mean length + stopwords
+
+
+def test_unigram_logprob_ranks_rare_tokens_higher(spark):
+    from html_qt_spark.operators.textstats import unigram_logprob
+
+    # "common common ..." docs score low; the doc full of hapaxes scores high
+    rows = [(i, "common words repeated " * 5) for i in range(5)]
+    rows.append((99, "xylophone quixotic zephyr jubilant oblivion"))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r.logprob_x1000 for r in unigram_logprob(docs).collect()}
+    assert got[99] > got[0]
+    assert got[0] == got[1]  # identical docs, identical scores
