@@ -1,0 +1,141 @@
+"""End-to-end training-data curation pipeline: one composed plan chain
+from raw document text to packed training shards, built entirely from
+the operator library (normalize → quality gates → paragraph boilerplate
+→ exact + near dedup → decontaminate → rebalance → cap → pack → write).
+
+This is the job a 100-TB pre-training run actually submits: every stage
+is the already-scale-audited operator (no new shuffle shapes are
+introduced here), the composition is lazy until the final write (Spark
+fuses the narrow stages into the same scan), and stage row-counts are
+collected once from a cached frame per materialization point — a
+control-plane action per stage boundary, not per-row driver work; pass
+``collect_stats=False`` to skip them entirely and pay only the final
+write.
+
+Stage order is the standard one (RefinedWeb/FineWeb/CCNet lineage):
+quality-filter BEFORE dedup (junk pages would otherwise burn LSH work),
+dedup BEFORE sampling (sampling a corpus with duplicates re-weights
+them), decontaminate after dedup (fewer docs to shingle), rebalance/cap
+last (they assume final per-group populations).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+from html_qt_spark.operators.curation import (
+    cap_per_group,
+    decontaminate,
+    pack_shards,
+    temperature_sample,
+)
+from html_qt_spark.operators.dedup import (
+    connected_components_star,
+    minhash_lsh_pairs,
+    paragraph_filter_common,
+)
+from html_qt_spark.operators.normalize import normalize_text
+from html_qt_spark.operators.textstats import gopher_quality, token_count
+
+
+def run_curation_job(
+    spark: SparkSession,
+    docs: DataFrame,
+    out_dir: str,
+    *,
+    benchmark: DataFrame | None = None,
+    min_words: int = 5,
+    max_words: int = 100_000,
+    para_max_doc_freq: int | None = None,
+    lsh_num_hashes: int = 16,
+    lsh_bands: int = 4,
+    alpha: float = 0.5,
+    max_per_source: int | None = None,
+    token_budget: int = 2048,
+    collect_stats: bool = True,
+) -> dict:
+    """docs(doc_id, text, lang, source) -> packed shards under out_dir.
+
+    Sandbox-relaxed defaults (``min_words=5``: the synthetic corpus has
+    short docs; production uses the published Gopher 50).  Optional
+    stages switch off with None: ``para_max_doc_freq`` (paragraph
+    boilerplate), ``max_per_source`` (domain caps), ``benchmark``
+    (decontamination).  Returns per-stage surviving doc counts.
+    """
+    stats: dict[str, int] = {}
+
+    def _count(name: str, df: DataFrame) -> DataFrame:
+        if collect_stats:
+            stats[name] = df.count()
+        return df
+
+    _count("input", docs)
+
+    # 1. unicode normalization (NFC): composed/decomposed twins must
+    #    collide in every hash downstream
+    cur = normalize_text(docs, form="NFC").select(
+        "doc_id", "text", "lang", "source")
+
+    # 2. quality gate (Gopher rules, zero-shuffle array exprs)
+    q = gopher_quality(cur, min_words=min_words, max_words=max_words,
+                       min_stop_hits=0, min_mean_len_x100=100)
+    cur = _count("quality", cur.join(
+        q.where("passes").select("doc_id"), "doc_id"))
+
+    # 3. optional paragraph-level boilerplate removal (commonness rule)
+    if para_max_doc_freq is not None:
+        cleaned = paragraph_filter_common(
+            cur, max_doc_freq=para_max_doc_freq)
+        cur = _count("para_filter", cur.select("doc_id", "lang", "source")
+                     .join(cleaned.where(F.col("clean_text") != "")
+                           .select("doc_id", F.col("clean_text")
+                                   .alias("text")), "doc_id"))
+
+    # 4. exact dedup, first occurrence wins
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    cur = _count("exact_dedup",
+                 cur.withColumn("_rn", F.row_number().over(w))
+                 .where(F.col("_rn") == 1).drop("_rn"))
+
+    # 5. near-dup clusters via banded MinHash-LSH; keep each cluster's
+    #    canonical (min doc_id) member.  components_star: O(log n)
+    #    rounds even on chain-shaped crawl duplicates.
+    pairs = minhash_lsh_pairs(cur, num_hashes=lsh_num_hashes,
+                              bands=lsh_bands)
+    comp = connected_components_star(pairs)
+    dupes = comp.where(F.col("doc_id") != F.col("component_id")) \
+                .select("doc_id")
+    cur = _count("near_dedup", cur.join(dupes, "doc_id", "left_anti"))
+
+    # 6. optional benchmark decontamination
+    if benchmark is not None:
+        dirty = (decontaminate(cur, benchmark)
+                 .where("contaminated").select("doc_id"))
+        cur = _count("decontaminated", cur.join(dirty, "doc_id",
+                                                "left_anti"))
+
+    # 7. language rebalancing (deterministic temperature sampling)
+    cur = _count("rebalanced",
+                 temperature_sample(cur, group_col="lang", alpha=alpha)
+                 .select("doc_id", "text", "lang", "source"))
+
+    # 8. optional per-domain cap
+    if max_per_source is not None:
+        cur = _count("capped", cap_per_group(
+            cur, group_col="source", max_per_group=max_per_source))
+
+    # 9. pack into ~token_budget shards per language partition (the
+    #    partitioned path — no global single-partition sort) and write,
+    #    laid out by (lang, shard_id) for sequential trainer reads
+    packed = pack_shards(token_count(cur).join(cur, "doc_id"),
+                         token_budget=token_budget,
+                         partition_cols=["lang"])
+    (packed.select("doc_id", "lang", "source", "text", "n_tokens",
+                   "shard_id")
+     .write.mode("overwrite").partitionBy("lang", "shard_id")
+     .parquet(f"{out_dir}/shards"))
+    if collect_stats:
+        stats["written"] = spark.read.parquet(f"{out_dir}/shards").count()
+    return stats

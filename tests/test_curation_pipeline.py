@@ -1,0 +1,69 @@
+"""End-to-end curation pipeline: raw docs -> packed training shards."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import pytest
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from html_qt_spark.plans.session import get_spark
+
+    s = get_spark(cpus=4, shuffle_partitions=8)
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+
+
+def test_curation_job_end_to_end(spark, tmp_path_factory):
+    from pyspark.sql import functions as F
+
+    from html_qt_spark.plans.curation_pipeline import run_curation_job
+
+    out = str(tmp_path_factory.mktemp("curate"))
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    bench = docs.where(F.col("doc_id") % 97 == 0).select("doc_id", "text")
+
+    stats = run_curation_job(spark, docs, out, benchmark=bench,
+                             min_words=3, max_per_source=50,
+                             token_budget=512)
+    # monotone survivor funnel through every enabled stage
+    order = ["input", "quality", "exact_dedup", "near_dedup",
+             "decontaminated", "rebalanced", "capped"]
+    vals = [stats[k] for k in order]
+    assert vals == sorted(vals, reverse=True), stats
+    assert stats["written"] == stats["capped"]
+    assert stats["written"] > 0
+
+    shards = spark.read.parquet(f"{out}/shards")
+    # no surviving exact duplicates
+    assert (shards.groupBy(F.md5("text")).count()
+            .where("count > 1").count() == 0)
+    # the planted benchmark docs were decontaminated away
+    leaked = shards.join(bench.select("doc_id"), "doc_id").count()
+    assert leaked == 0
+    # shard token budgets hold per (lang, shard): total <= budget + one
+    # doc overhang
+    over = (shards.groupBy("lang", "shard_id")
+            .agg(F.sum("n_tokens").alias("tot"),
+                 F.max("n_tokens").alias("mx"))
+            .where(F.col("tot") > 512 + F.col("mx")).count())
+    assert over == 0
+    # per-source cap respected
+    assert (shards.groupBy("source").count()
+            .where("count > 50").count() == 0)
+
+
+def test_curation_job_stats_off_still_writes(spark, tmp_path_factory):
+    from html_qt_spark.plans.curation_pipeline import run_curation_job
+
+    out = str(tmp_path_factory.mktemp("curate2"))
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    stats = run_curation_job(spark, docs, out, min_words=3,
+                             collect_stats=False)
+    assert stats == {}
+    assert spark.read.parquet(f"{out}/shards").count() > 0
