@@ -374,6 +374,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return extract_spans_doc(interleaved_nested(spark, sf),
                                  fragment_context="td")
 
+    def q_extract_markdown(spark, sf):
+        # structure-preserving Markdown rendering (kernel/markdown.py);
+        # oracle = golden markdown from the independent recursive
+        # renderer (tests/oracle.py::oracle_markdown)
+        from html_qt_spark.operators.extract import extract_markdown_doc
+        return extract_markdown_doc(interleaved_nested(spark, sf))
+
     def q_doc_parse_stats(spark, sf):
         from html_qt_spark.operators.extract import doc_parse_stats
         return doc_parse_stats(interleaved_nested(spark, sf))
@@ -521,6 +528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_compat": q_extract_compat,
         "extract_chunked": q_extract_chunked,
         "extract_fragments": q_extract_fragments,
+        "extract_markdown": q_extract_markdown,
         "doc_parse_stats": q_doc_parse_stats,
         "doc_metadata": q_doc_metadata,
         "clean_corpus": q_clean_corpus,
@@ -905,6 +913,10 @@ def oracle_sql() -> dict[str, str]:
             'SELECT doc_id, span_idx, kind, text, media_ref, "offset" '
             "FROM read_parquet("
             f"'{_FIXTURES}/golden_spans_fragment_td_sf001.parquet')"),
+        "extract_markdown": (
+            "SELECT doc_id, markdown, n_segments, quarantined "
+            f"FROM read_parquet('{_FIXTURES}/golden_markdown_sf001"
+            ".parquet')"),
         # span-count columns recomputed independently in SQL; kernel
         # token/node/error counts pinned by the out-of-Spark golden
         "doc_parse_stats": oracle_cte(

@@ -192,6 +192,78 @@ DOC_STATS_SCHEMA = T.StructType([
 ])
 
 
+MARKDOWN_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.StringType()),
+    T.StructField("markdown", T.StringType()),
+    T.StructField("n_segments", T.IntegerType()),
+    T.StructField("quarantined", T.BooleanType()),
+])
+
+
+def extract_markdown_doc(df: DataFrame, *,
+                         max_span_bytes: int | None = None) -> DataFrame:
+    """(doc_id, spans) → (doc_id, markdown, n_segments, quarantined):
+    the structure-preserving Markdown rendering of each document
+    (kernel/markdown.py spec) — headings, lists, tables, code fences,
+    links/images — with media spans interleaved at their document
+    position as image/link blocks.
+
+    Same execution shape as :func:`extract_spans_doc`: narrow
+    mapInPandas over four flattened primitive arrays, zero shuffle,
+    document-level poison-pill quarantine.  One output row per document.
+    """
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from html_qt_spark.kernel.markdown import render_markdown
+        from html_qt_spark.kernel.treebuilder import parse
+
+        for pdf in batches:
+            doc_ids: list[str] = []
+            mds: list[str | None] = []
+            n_segments: list[int] = []
+            quarantined: list[bool] = []
+            for doc_id, s_kinds, s_texts, s_refs in zip(
+                    pdf["doc_id"], pdf["_kinds"], pdf["_texts"],
+                    pdf["_refs"]):
+                if s_kinds is None:
+                    continue
+                blocks: list[str] = []
+                try:
+                    for kind, html, ref in zip(s_kinds, s_texts, s_refs):
+                        if kind == "media":
+                            if ref:
+                                blocks.append(f"![]({ref})")
+                            continue
+                        if not html:
+                            continue
+                        if max_span_bytes and len(html) > max_span_bytes:
+                            raise ValueError(f"oversize-span:{len(html)}")
+                        md = render_markdown(parse(html))
+                        if md:
+                            blocks.append(md)
+                    doc_ids.append(doc_id)
+                    mds.append("\n\n".join(blocks))
+                    n_segments.append(len(blocks))
+                    quarantined.append(False)
+                except Exception as exc:  # noqa: BLE001 — poison pill
+                    doc_ids.append(doc_id)
+                    mds.append(f"{type(exc).__name__}:{exc}"[:512])
+                    n_segments.append(0)
+                    quarantined.append(True)
+            yield pd.DataFrame({
+                "doc_id": doc_ids, "markdown": mds,
+                "n_segments": n_segments, "quarantined": quarantined,
+            })
+
+    flat = df.select(
+        "doc_id",
+        F.col("spans.kind").alias("_kinds"),
+        F.col("spans.text").alias("_texts"),
+        F.col("spans.media_ref").alias("_refs"),
+    )
+    return flat.mapInPandas(process, schema=MARKDOWN_SCHEMA)
+
+
 def doc_parse_stats(df: DataFrame) -> DataFrame:
     """(doc_id, spans) → per-document parse metrics.
 

@@ -127,3 +127,129 @@ def oracle_metadata(tb: TreeBuilder) -> tuple:
     visit(0)
     return (found["title"], found["description"], found["canonical"],
             found["lang"])
+
+
+def oracle_markdown(tb: TreeBuilder) -> str:
+    """Markdown rendering via naive recursion — independent counterpart
+    of kernel/markdown.py::render_markdown (same spec, different
+    algorithm: direct recursive descent returning strings, no explicit
+    stacks, no paragraph buffering; shares only the tree + tag sets)."""
+    from html_qt_spark.kernel.extractor import (
+        BLOCK_TAGS,
+        BOILERPLATE_CONTAINERS,
+        MEDIA_TAGS,
+        SKIP_SUBTREES,
+    )
+
+    headings = {f"h{i}": i for i in range(1, 7)}
+    lists = {"ul", "ol", "menu", "dir"}
+    fenced = {"pre", "xmp", "plaintext"}
+    wrap = {"strong": "**", "b": "**", "em": "*", "i": "*", "code": "`"}
+
+    def collapse(s: str) -> str:
+        return _WS.sub(" ", s).strip()
+
+    def raw(nid: int) -> str:
+        if tb.tag[nid] == "#text":
+            return tb.text[nid] or ""
+        return "".join(raw(c) for c in tb.children[nid])
+
+    def inline(nid: int) -> str:
+        t = tb.tag[nid]
+        if t == "#text":
+            return tb.text[nid] or ""
+        if t in SKIP_SUBTREES or t in BOILERPLATE_CONTAINERS:
+            return ""
+        if t == "br":
+            return " "
+        a = dict(tb.attrs[nid] or [])
+        if t == "img":
+            return f"![{collapse(a.get('alt') or '')}]({a['src']})" \
+                if a.get("src") else ""
+        if t in MEDIA_TAGS:
+            ref = a.get(MEDIA_TAGS[t])
+            head = f"[{t}]({ref})" if ref else ""
+            return head + "".join(inline(c) for c in tb.children[nid])
+        inner = "".join(inline(c) for c in tb.children[nid])
+        if not (inner and collapse(inner)):
+            return inner
+        if t == "a" and a.get("href"):
+            return f"[{inner}]({a['href']})"
+        if t in wrap:
+            return wrap[t] + inner + wrap[t]
+        return inner
+
+    def blocks(nid: int) -> list[str]:
+        t = tb.tag[nid]
+        if t in SKIP_SUBTREES or t in BOILERPLATE_CONTAINERS:
+            return []
+        if t in headings:
+            txt = collapse("".join(inline(c) for c in tb.children[nid]))
+            return [f"{'#' * headings[t]} {txt}"] if txt else []
+        if t in lists:
+            lines, i = [], 0
+            for ch in tb.children[nid]:
+                if tb.tag[ch] != "li":
+                    continue
+                i += 1
+                txt = collapse("".join(inline(c)
+                                       for c in tb.children[ch]))
+                if txt:
+                    pre = f"{i}. " if t == "ol" else "- "
+                    lines.append(pre + txt)
+            return ["\n".join(lines)] if lines else []
+        if t == "blockquote":
+            txt = collapse("".join(inline(c) for c in tb.children[nid]))
+            return [f"> {txt}"] if txt else []
+        if t in fenced:
+            r = raw(nid)
+            return [f"```\n{r}\n```"] if r.strip() else []
+        if t == "hr":
+            return ["---"]
+        if t == "table":
+            trs: list[int] = []
+
+            def find_trs(m: int) -> None:
+                if tb.tag[m] == "tr":
+                    trs.append(m)
+                    return
+                for c in tb.children[m]:
+                    find_trs(c)
+
+            find_trs(nid)
+            lines = []
+            for idx, tr in enumerate(trs):
+                cells = [c for c in tb.children[tr]
+                         if tb.tag[c] in ("td", "th")]
+                if not cells:
+                    continue
+                texts = [collapse("".join(inline(x)
+                                          for x in tb.children[c]))
+                         for c in cells]
+                lines.append("| " + " | ".join(texts) + " |")
+                if idx == 0 and any(tb.tag[c] == "th" for c in cells):
+                    lines.append("|" + " --- |" * len(cells))
+            return ["\n".join(lines)] if lines else []
+        out: list[str] = []
+        buf: list[int] = []
+
+        def flush() -> None:
+            if buf:
+                txt = collapse("".join(inline(b) for b in buf))
+                if txt:
+                    out.append(txt)
+                buf.clear()
+
+        for ch in tb.children[nid]:
+            ct = tb.tag[ch]
+            if ct in SKIP_SUBTREES or ct in BOILERPLATE_CONTAINERS:
+                continue
+            if ct in BLOCK_TAGS or ct == "hr":
+                flush()
+                out.extend(blocks(ch))
+            else:
+                buf.append(ch)
+        flush()
+        return out
+
+    return "\n\n".join(blocks(0))

@@ -40,7 +40,11 @@ from html_qt_spark.kernel.treebuilder import (  # noqa: E402
     parse_fragment,
 )
 from html_qt_spark.sources.interleaved import INTERLEAVED_SPANS_SQL  # noqa: E402
-from tests.oracle import oracle_extract, oracle_metadata  # noqa: E402
+from tests.oracle import (  # noqa: E402
+    oracle_extract,
+    oracle_markdown,
+    oracle_metadata,
+)
 
 SPANS_SCHEMA = pa.schema([
     ("doc_id", pa.string()),
@@ -57,6 +61,13 @@ META_SCHEMA = pa.schema([
     ("meta_description", pa.string()),
     ("canonical_url", pa.string()),
     ("lang", pa.string()),
+])
+
+MARKDOWN_SCHEMA = pa.schema([
+    ("doc_id", pa.string()),
+    ("markdown", pa.string()),
+    ("n_segments", pa.int32()),
+    ("quarantined", pa.bool_()),
 ])
 
 STATS_SCHEMA = pa.schema([
@@ -135,6 +146,33 @@ def golden_metadata(rows: list[tuple]) -> dict:
     return cols
 
 
+def golden_markdown(rows: list[tuple]) -> dict:
+    """Per-doc Markdown via the independent recursive renderer
+    (tests/oracle.py::oracle_markdown): text spans render in offset
+    order, media spans interleave as image blocks, segments join with a
+    blank line — mirroring operators/extract.py::extract_markdown_doc."""
+    per_doc: dict[str, list[str]] = {}
+    for doc_id, _offset, kind, text, media_ref in rows:
+        blocks = per_doc.setdefault(doc_id, [])
+        if kind == "media":
+            if media_ref:
+                blocks.append(f"![]({media_ref})")
+            continue
+        if not text:
+            continue
+        md = oracle_markdown(parse(text))
+        if md:
+            blocks.append(md)
+    cols = {k: [] for k in ("doc_id", "markdown", "n_segments",
+                            "quarantined")}
+    for doc_id, blocks in per_doc.items():
+        cols["doc_id"].append(doc_id)
+        cols["markdown"].append("\n\n".join(blocks))
+        cols["n_segments"].append(len(blocks))
+        cols["quarantined"].append(False)
+    return cols
+
+
 def golden_parse_stats(rows: list[tuple]) -> dict:
     """Kernel token/node/error counts per doc (regression pin for the
     Spark doc_parse_stats plumbing; computed here OUTSIDE Spark)."""
@@ -187,6 +225,11 @@ def main() -> None:
                    out_dir / "golden_spans_fragment_td_sf001.parquet")
     print("golden_spans_fragment_td_sf001.parquet: "
           f"{len(frag['doc_id'])} rows")
+
+    md = golden_markdown(rows)
+    pq.write_table(pa.table(md, schema=MARKDOWN_SCHEMA),
+                   out_dir / "golden_markdown_sf001.parquet")
+    print(f"golden_markdown_sf001.parquet: {len(md['doc_id'])} rows")
 
     stats = golden_parse_stats(rows)
     pq.write_table(pa.table(stats, schema=STATS_SCHEMA),
