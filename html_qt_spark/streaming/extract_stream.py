@@ -39,19 +39,33 @@ def stream_extract(
     *,
     available_now: bool = True,
     max_files_per_trigger: int | None = None,
+    mode: str = "spans",
 ) -> StreamingQuery:
     """Start the streaming extraction query.
 
     ``available_now=True`` drains everything currently in ``input_dir``
     and stops (the test/backfill mode); ``False`` runs continuously
     picking up new files as the crawler drops them.
+
+    ``mode``: "spans" (ordered span rows) or "markdown" (one
+    structure-preserving Markdown row per document,
+    operators/extract.py::extract_markdown_doc).  Both are stateless
+    narrow maps, so they stream without watermarks and the exactly-once
+    checkpoint story is identical.
     """
     reader = spark.readStream.schema(NESTED_SCHEMA)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = reader.parquet(input_dir)
 
-    out = extract_spans_doc(stream)
+    if mode == "markdown":
+        from html_qt_spark.operators.extract import extract_markdown_doc
+
+        out = extract_markdown_doc(stream)
+    elif mode == "spans":
+        out = extract_spans_doc(stream)
+    else:
+        raise ValueError(f"mode must be 'spans' or 'markdown', got {mode!r}")
 
     writer = (out.writeStream
               .format("parquet")

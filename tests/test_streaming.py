@@ -130,3 +130,30 @@ def test_windowed_metrics_watermark_drops_late_rows(spark, tmp_path):
     assert sum(1 for r in emitted if r.w_start.minute == 0) == 1
     # the 10:30 window never finalized (stream ended before its watermark)
     assert 30 not in rows
+
+
+def test_stream_markdown_matches_batch(spark, tmp_path):
+    from html_qt_spark.operators.extract import extract_markdown_doc
+    from html_qt_spark.sources.interleaved import interleaved_nested
+    from html_qt_spark.streaming.extract_stream import stream_extract
+
+    nested = interleaved_nested(spark, SF).limit(100).cache()
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    nested.write.parquet(in_dir)
+
+    q = stream_extract(spark, in_dir, out_dir, ckpt, available_now=True,
+                       mode="markdown")
+    q.awaitTermination(300)
+
+    got = spark.read.parquet(out_dir)
+    want = extract_markdown_doc(spark.read.parquet(in_dir))
+    assert got.count() == want.count() == 100
+    assert (got.exceptAll(want).count() == 0
+            and want.exceptAll(got).count() == 0)
+    # checkpoint restart: no re-emission
+    q2 = stream_extract(spark, in_dir, out_dir, ckpt, available_now=True,
+                        mode="markdown")
+    q2.awaitTermination(300)
+    assert spark.read.parquet(out_dir).count() == 100
