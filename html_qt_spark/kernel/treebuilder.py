@@ -230,6 +230,14 @@ _SVG_TAG_ADJUST = {
 class TreeBuilder:
     """Single-document tree builder; instantiate per document."""
 
+    __slots__ = (
+        "reference_compat", "collect_errors", "tag", "parent", "children",
+        "attrs", "text", "ns", "open_elements", "active_formatting",
+        "mode", "original_mode", "frameset_ok", "foster_parenting",
+        "head_id", "form_id", "pending_table_text", "ignore_lf",
+        "quirks_mode", "doctype", "errors", "done", "fragment_root",
+    )
+
     def __init__(self, *, reference_compat: bool = False,
                  collect_errors: bool = True) -> None:
         self.reference_compat = reference_compat
