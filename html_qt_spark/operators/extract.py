@@ -54,12 +54,22 @@ def extract_spans_doc(df: DataFrame, *, reference_compat: bool = False,
                       max_link_density: float = 0.5,
                       min_words: int = 1,
                       max_span_bytes: int | None = None,
-                      fragment_context: str | None = None) -> DataFrame:
+                      fragment_context: str | None = None,
+                      memoize_spans: int = 0) -> DataFrame:
     """(doc_id, spans) → (doc_id, span_idx, kind, text, media_ref, offset).
 
     Narrow transformation: no shuffle, no driver round-trip.  Input text
     spans run through the fused tokenize→tree→extract kernel; media spans
     pass through at their document position.
+
+    ``memoize_spans``: per-task cache of up to N extraction results
+    keyed by the exact span bytes (default 0 = off).  In real crawls the
+    nav/footer/banner spans of a site are BYTE-IDENTICAL across its
+    pages (the same repetition paragraph-dedup exploits downstream), so
+    a bounded memo turns those re-parses into dict hits.  Extraction is
+    a pure function of (html, flags) — memoization cannot change
+    results, which tests/test_spark_pipeline.py pins by equality.  Off
+    by default so benchmarks measure parsing, not caching.
 
     ``fragment_context``: parse each text span with innerHTML semantics
     as the contents of that context element (WHATWG 13.4) — a crawl
@@ -79,6 +89,27 @@ def extract_spans_doc(df: DataFrame, *, reference_compat: bool = False,
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # import inside the worker so the kernel ships via --py-files
         from html_qt_spark.kernel.extractor import extract_html
+
+        memo: dict[str, list] | None = {} if memoize_spans else None
+
+        def extract_cached(html: str) -> list:
+            if memo is None:
+                return extract_html(
+                    html, reference_compat=reference_compat,
+                    max_link_density=max_link_density,
+                    min_words=min_words,
+                    fragment_context=fragment_context)
+            spans = memo.get(html)
+            if spans is None:
+                spans = extract_html(
+                    html, reference_compat=reference_compat,
+                    max_link_density=max_link_density,
+                    min_words=min_words,
+                    fragment_context=fragment_context)
+                if len(memo) >= memoize_spans:
+                    memo.clear()  # bounded: flush-on-full beats LRU bookkeeping
+                memo[html] = spans
+            return spans
 
         for pdf in batches:
             doc_ids: list[str] = []
@@ -117,12 +148,7 @@ def extract_spans_doc(df: DataFrame, *, reference_compat: bool = False,
                         if max_span_bytes and len(html) > max_span_bytes:
                             raise ValueError(
                                 f"oversize-span:{len(html)}")
-                        for k, t, m in extract_html(
-                                html,
-                                reference_compat=reference_compat,
-                                max_link_density=max_link_density,
-                                min_words=min_words,
-                                fragment_context=fragment_context):
+                        for k, t, m in extract_cached(html):
                             emit(doc_id, idx, k, t, m, offset)
                             idx += 1
                 except Exception as exc:  # noqa: BLE001 — poison pill
