@@ -226,6 +226,73 @@ MARKDOWN_SCHEMA = T.StructType([
 ])
 
 
+_MD_SPAN_SCHEMA = T.StructType([
+    T.StructField("md", T.StringType()),
+    T.StructField("err", T.StringType()),
+])
+
+
+@F.pandas_udf(_MD_SPAN_SCHEMA)
+def _md_span(html: pd.Series) -> pd.DataFrame:
+    """One HTML span → (markdown, err) — Arrow-batched, per-span
+    poison-pill (err carries the quarantine message)."""
+    from html_qt_spark.kernel.markdown import render_markdown
+    from html_qt_spark.kernel.treebuilder import parse
+
+    mds: list[str | None] = []
+    errs: list[str | None] = []
+    for doc in html:
+        if not doc:
+            mds.append(None)
+            errs.append(None)
+            continue
+        try:
+            mds.append(render_markdown(parse(doc)))
+            errs.append(None)
+        except Exception as exc:  # noqa: BLE001 — poison pill
+            mds.append(None)
+            errs.append(f"{type(exc).__name__}:{exc}"[:512])
+    return pd.DataFrame({"md": mds, "err": errs})
+
+
+def extract_markdown_exploded(df_exploded: DataFrame) -> DataFrame:
+    """Skew path for Markdown rendering over the exploded span table
+    (doc_id, offset, kind, text, media_ref): per-span rendering in a
+    narrow pandas_udf, then ONE groupBy(doc_id) shuffle reassembles the
+    document in offset order — same output contract as
+    :func:`extract_markdown_doc` (equality pinned by
+    tests/test_markdown.py).  Mega-documents parallelize across spans;
+    a quarantined span quarantines its document (first failing span's
+    message wins, n_segments=0), matching the doc-mode poison pill.
+    """
+    r = df_exploded.withColumn("_r", _md_span("text"))
+    block = (F.when(F.col("kind") == "media",
+                    F.when(F.col("media_ref").isNotNull(),
+                           F.concat(F.lit("![]("), "media_ref",
+                                    F.lit(")"))))
+             .otherwise(F.col("_r.md")))
+    rows = r.select(
+        "doc_id", "offset",
+        block.alias("_block"),
+        F.col("_r.err").alias("_err"))
+    agg = (rows.groupBy("doc_id")
+           .agg(F.min(F.when(F.col("_err").isNotNull(),
+                             F.struct("offset", "_err"))).alias("_q"),
+                F.sort_array(F.collect_list(
+                    F.when(F.col("_block").isNotNull()
+                           & (F.col("_block") != ""),
+                           F.struct("offset", "_block")))).alias("_bs")))
+    quarantined = F.col("_q").isNotNull()
+    return agg.select(
+        "doc_id",
+        F.when(quarantined, F.col("_q._err"))
+        .otherwise(F.concat_ws("\n\n", F.col("_bs._block")))
+        .alias("markdown"),
+        F.when(quarantined, F.lit(0))
+        .otherwise(F.size("_bs")).cast("int").alias("n_segments"),
+        quarantined.alias("quarantined"))
+
+
 def extract_markdown_doc(df: DataFrame, *,
                          max_span_bytes: int | None = None) -> DataFrame:
     """(doc_id, spans) → (doc_id, markdown, n_segments, quarantined):

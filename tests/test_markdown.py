@@ -128,3 +128,23 @@ def test_extract_markdown_doc_operator(spark):
     # nav/footer boilerplate never leaks into markdown
     assert "[Home](/)" not in r.markdown
     assert "about" not in r.markdown
+
+
+def test_markdown_exploded_matches_doc_mode(spark):
+    """The skew path (per-span render + one reassembly shuffle) must be
+    row-identical to the doc-at-a-time path."""
+    from html_qt_spark.operators.extract import (
+        extract_markdown_doc,
+        extract_markdown_exploded,
+    )
+    from html_qt_spark.sources.interleaved import (
+        interleaved_exploded,
+        interleaved_nested,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    doc = extract_markdown_doc(interleaved_nested(spark, sf))
+    exp = extract_markdown_exploded(interleaved_exploded(spark, sf))
+    assert doc.count() == exp.count() == 500
+    assert (doc.exceptAll(exp).count() == 0
+            and exp.exceptAll(doc).count() == 0)
