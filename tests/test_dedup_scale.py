@@ -116,3 +116,23 @@ def test_connected_components_respects_max_iter(spark):
     got = {r.doc_id: r.component_id
            for r in connected_components(pairs, max_iter=1).collect()}
     assert got[2] == 1 and got[6] == 5  # one hop of propagation only
+
+
+def test_lsh_cap_plan_single_bucket_shuffle(spark):
+    """The hot-bucket cap is a count window over (band, bucket), not an
+    aggregate + semi-join: the physical plan must carry NO broadcast of
+    a bucket-count table (the old shape's scale risk — bucket_ok is
+    corpus-bucket-sized at 10^12 docs) and only the minimal
+    hashpartitioning exchanges (signature agg, bucket window reused by
+    the self-join, final distinct)."""
+    from html_qt_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i} a b c d e f g h") for i in range(40)],
+        ["doc_id", "text"])
+    plan = minhash_lsh_pairs(docs)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Window" in plan
+    # no broadcast anywhere in the LSH plan: every side is corpus-scale
+    assert "BroadcastExchange" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 6, plan
