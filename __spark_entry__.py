@@ -483,6 +483,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return multimodal.frame_sample_plan(
             multimodal.decode_media(media), every_ms=60000)
 
+    def q_resize_plan(spark, sf):
+        media = (interleaved_exploded(spark, sf)
+                 .where(F.col("kind") == "media"))
+        return multimodal.resize_plan(multimodal.decode_media(media))
+
+    def q_chunk_docs(spark, sf):
+        # context-window splitting: 40-token chunks, 8-token overlap
+        from html_qt_spark.operators.curation import chunk_documents
+        return chunk_documents(_docs(spark, sf), chunk_tokens=40,
+                               overlap=8)
+
     return {
         "explode_spans": q_explode_spans,
         "media_filter": q_media_filter,
@@ -541,6 +552,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "media_decode": q_media_decode,
         "frame_sample": q_frame_sample,
+        "resize_plan": q_resize_plan,
+        "chunk_docs": q_chunk_docs,
     }
 
 
@@ -944,6 +957,29 @@ def oracle_sql() -> dict[str, str]:
         "ivf_topk": _IVF_ORACLE,
         "media_decode": oracle_cte(_MEDIA_ORACLE_BODY),
         "frame_sample": oracle_cte(_FRAME_ORACLE_BODY),
+        "resize_plan": oracle_cte(
+            _MEDIA_M_CTE
+            + ", d AS (SELECT media_ref, modality, "
+            "CAST(160 + h % 1920 AS INT) AS width, "
+            "CAST(90 + (h >> 8) % 1080 AS INT) AS height FROM m "
+            "WHERE modality IN ('image', 'video')) "
+            "SELECT media_ref, width, height, "
+            "CAST(CASE WHEN height >= width "
+            "THEN floor(width * 224 / height) ELSE 224 END AS INT) "
+            "AS out_w, "
+            "CAST(CASE WHEN height >= width THEN 224 "
+            "ELSE floor(height * 224 / width) END AS INT) AS out_h "
+            "FROM d"),
+        "chunk_docs": (
+            "WITH ts AS (SELECT doc_id, list_filter(string_split(text, "
+            "' '), x -> x <> '') AS toks FROM documents), "
+            "p AS (SELECT doc_id, toks, len(toks) AS n, "
+            "unnest(range(0, greatest(CAST(ceil((len(toks) - 40) / 32.0)"
+            " AS BIGINT), 0) + 1)) AS i FROM ts) "
+            "SELECT doc_id, CAST(i AS INT) AS chunk_idx, "
+            "array_to_string(toks[i*32+1 : i*32+40], ' ') AS chunk_text, "
+            "CAST(least(n - i*32, 40) AS INT) AS n_tokens "
+            "FROM p WHERE least(n - i*32, 40) >= 1"),
         "simhash": _SIMHASH_ORACLE,
         "winnowing": _WINNOWING_ORACLE,
         "scrub_pii": (

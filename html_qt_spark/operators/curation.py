@@ -191,3 +191,45 @@ def pack_shards(docs: DataFrame, *, token_budget: int,
                     (F.col("_cum_before") / F.lit(token_budget))
                     .cast("long"))
         .drop("_cum_before"))
+
+
+def chunk_documents(docs: DataFrame, *, chunk_tokens: int = 512,
+                    overlap: int = 64, text_col: str = "text",
+                    id_col: str = "doc_id",
+                    min_tail_tokens: int = 1) -> DataFrame:
+    """Context-window splitting: cut each document's token stream into
+    chunks of ``chunk_tokens`` whitespace tokens with ``overlap`` tokens
+    of left context repeated at every boundary (stride =
+    chunk_tokens - overlap) — the sequence-building step between corpus
+    curation and the trainer.  Chunk starts: 0, stride, 2*stride, ...;
+    a final window shorter than ``min_tail_tokens`` (fully contained in
+    the previous chunk's overlap) is not emitted.
+
+    Pure per-row ARRAY arithmetic (split/sequence/transform/slice) +
+    one posexplode — narrow, zero shuffle, whole-stage codegen until the
+    generator.  Returns (id_col, chunk_idx, chunk_text, n_tokens).
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = F.filter(F.split(text_col, " "), lambda t: t != "")
+    n = F.size(toks)
+    # number of chunk starts: 1 + max(0, ceil((n - chunk_tokens)/stride))
+    extra = F.greatest(
+        F.ceil((n - chunk_tokens) / F.lit(stride)).cast("int"), F.lit(0))
+    starts = F.sequence(F.lit(0), extra)
+    chunks = F.transform(
+        starts,
+        lambda i: F.struct(
+            F.concat_ws(
+                " ", F.slice(toks, i * stride + 1, chunk_tokens))
+            .alias("chunk_text"),
+            F.least(n - i * stride, F.lit(chunk_tokens)).cast("int")
+            .alias("n_tokens")))
+    exploded = docs.select(
+        id_col, F.posexplode(chunks).alias("chunk_idx", "c"))
+    return (exploded
+            .where(F.col("c.n_tokens") >= min_tail_tokens)
+            .select(id_col, F.col("chunk_idx").cast("int"),
+                    F.col("c.chunk_text").alias("chunk_text"),
+                    F.col("c.n_tokens").alias("n_tokens")))

@@ -92,3 +92,27 @@ def frame_sample_plan(decoded: DataFrame, *, every_ms: int = 5000
             F.sequence(F.lit(0), F.col("duration_ms"), F.lit(every_ms))
         ).alias("frame_ts_ms"),
     )
+
+
+def resize_plan(decoded: DataFrame, *, target: int = 224) -> DataFrame:
+    """Aspect-preserving resize targets for decoded visual media: the
+    standard vision-preprocessing step (fit the short... here: fit the
+    LONG side to ``target``, floor the other) computed entirely JVM-side
+    with integer cross-multiplication — no floats, so the plan is
+    bit-identical on any engine and the actual resampling kernel (a
+    Pandas-UDF over the binary column in production) receives exact
+    output dims.  Returns (media_ref, width, height, out_w, out_h).
+    """
+    from pyspark.sql import functions as F
+
+    vis = decoded.where(F.col("modality").isin("image", "video"))
+    portrait = F.col("height") >= F.col("width")
+    return vis.select(
+        "media_ref", "width", "height",
+        F.when(portrait,
+               F.floor(F.col("width") * target / F.col("height")))
+        .otherwise(F.lit(target)).cast("int").alias("out_w"),
+        F.when(portrait, F.lit(target))
+        .otherwise(F.floor(F.col("height") * target / F.col("width")))
+        .cast("int").alias("out_h"),
+    )

@@ -195,3 +195,47 @@ def test_temperature_sample_rates(spark):
     # alpha=1 is a no-op
     allk = temperature_sample(docs, group_col="lang", alpha=1.0).count()
     assert allk == 425
+
+
+def test_chunk_documents_overlap_reconstruction(spark):
+    from html_qt_spark.operators.curation import chunk_documents
+
+    text = " ".join(f"t{i}" for i in range(100))
+    docs = spark.createDataFrame([(1, text), (2, "short doc here")],
+                                 ["doc_id", "text"])
+    rows = sorted(chunk_documents(docs, chunk_tokens=40, overlap=8)
+                  .collect(), key=lambda r: (r.doc_id, r.chunk_idx))
+    d1 = [r for r in rows if r.doc_id == 1]
+    # 100 tokens, stride 32: ceil((100-40)/32)=2 extra starts -> chunks
+    # at 0,32,64 (the last covers tokens 65..100, all 100 covered)
+    assert [r.chunk_idx for r in d1] == [0, 1, 2]
+    assert d1[0].n_tokens == 40 and d1[-1].n_tokens == 36
+    # consecutive chunks share exactly the 8-token overlap
+    a = d1[0].chunk_text.split()
+    b = d1[1].chunk_text.split()
+    assert a[-8:] == b[:8]
+    # dropping each chunk's 8-token left overlap reconstructs the doc
+    recon = a + [t for r in d1[1:] for t in r.chunk_text.split()[8:]]
+    assert recon == text.split()
+    # short doc: single whole chunk
+    d2 = [r for r in rows if r.doc_id == 2]
+    assert len(d2) == 1 and d2[0].chunk_text == "short doc here"
+    assert d2[0].n_tokens == 3
+
+
+def test_chunk_documents_tail_in_overlap_not_emitted(spark):
+    from html_qt_spark.operators.curation import chunk_documents
+
+    # 44 tokens, chunk 40, overlap 8, stride 32: second chunk holds
+    # tokens 33..44 (12 tokens) — emitted; with 40 tokens exactly, no
+    # second chunk (ceil((40-40)/32)=0)
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"x{i}" for i in range(44))),
+         (2, " ".join(f"y{i}" for i in range(40)))],
+        ["doc_id", "text"])
+    got = chunk_documents(docs, chunk_tokens=40, overlap=8).collect()
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert len(by_doc[1]) == 2 and by_doc[1][1].n_tokens == 12
+    assert len(by_doc[2]) == 1
