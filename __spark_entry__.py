@@ -191,6 +191,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return similarity.cosine_topk(_emb(spark, sf), query_vec_id=0, k=10) \
             .select("vec_id", F.col("rank").cast("long").alias("rank"))
 
+    def q_cosine_topk_batch(spark, sf):
+        # k-NN join: top-10 per query over a 3-vector query set
+        return (similarity.cosine_topk_batch(_emb(spark, sf),
+                                             [0, 7, 42], k=10)
+                .select("q_id", "vec_id",
+                        F.col("rank").cast("long").alias("rank")))
+
     def q_regex_tokens(spark, sf):
         return textstats.regex_token_count(_docs(spark, sf))
 
@@ -514,6 +521,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_sessions": q_event_sessions,
         "event_windows": q_event_windows,
         "cosine_topk": q_cosine_topk,
+        "cosine_topk_batch": q_cosine_topk_batch,
         "regex_tokens": q_regex_tokens,
         "cosine_dupes": q_cosine_dupes,
         "cosine_dupes_lsh": q_cosine_dupes_lsh,
@@ -906,6 +914,18 @@ def oracle_sql() -> dict[str, str]:
             "FROM embeddings e, q WHERE vec_id <> 0 "
             "ORDER BY list_cosine_similarity(e.embedding, q.q_emb) DESC, "
             "vec_id LIMIT 10"),
+        "cosine_topk_batch": (
+            "WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb "
+            "FROM embeddings WHERE vec_id IN (0, 7, 42)), "
+            "s AS (SELECT q.q_id, e.vec_id, "
+            "round(list_cosine_similarity(e.embedding::DOUBLE[], "
+            "q.q_emb::DOUBLE[]), 6) AS cos "
+            "FROM embeddings e, q WHERE e.vec_id <> q.q_id), "
+            "r AS (SELECT q_id, vec_id, row_number() OVER "
+            "(PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank "
+            "FROM s) "
+            "SELECT q_id, vec_id, CAST(rank AS BIGINT) AS rank "
+            "FROM r WHERE rank <= 10"),
         # ---- flagship extraction: golden spans materialized from the
         # independent recursive extractor (tests/oracle.py) over the exact
         # sf0.01 synthesis — see tools/make_golden_spans.py

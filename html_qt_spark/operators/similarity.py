@@ -77,6 +77,38 @@ def cosine_topk_scores(embeddings: DataFrame, query_vec_id: int = 0,
     )
 
 
+def cosine_topk_batch(embeddings: DataFrame, query_ids: list[int],
+                      k: int = 10) -> DataFrame:
+    """Exact top-k cosine neighbors for a SET of stored query vectors
+    in one plan — the k-NN join (every production retrieval/dedup pass
+    queries thousands of vectors, not one).
+
+    Plan at 10^9 corpus vectors: the query set broadcasts (index-sized),
+    the scan scores |Q| candidates per corpus row map-side, and the
+    row_number-≤-k filter compiles to WindowGroupLimit — a PARTIAL
+    per-task top-k before the one q_id-keyed exchange, so the shuffle
+    moves ~|Q|·k·tasks rows, never the |Q|·n score matrix.  Scores are
+    rounded to 6 decimals before ranking (cross-engine tie safety, same
+    convention as :func:`cosine_topk_scores`).
+    Returns (q_id, vec_id, rank).
+    """
+    from pyspark.sql import Window
+
+    q = (embeddings.where(F.col("vec_id").isin(query_ids))
+         .select(F.col("vec_id").alias("q_id"),
+                 F.col("embedding").alias("q_emb")))
+    scored = (embeddings.crossJoin(F.broadcast(q))
+              .where(F.col("vec_id") != F.col("q_id"))
+              .select("q_id", "vec_id",
+                      F.round(_cos_d(F.col("embedding"),
+                                     F.col("q_emb")), 6).alias("cos")))
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(),
+                                           F.col("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("q_id", "vec_id", "rank"))
+
+
 def srp_buckets(embeddings: DataFrame, *, n_planes: int = 8,
                 dim: int = 64, hash_fn: str = "xxhash64") -> DataFrame:
     """Signed-random-projection bucket per vector: n_planes sign bits.

@@ -224,3 +224,24 @@ def test_ivf_assignment_partitions_corpus(spark):
     assert assign.select("vec_id").distinct().count() == 100
     lists = {r.list_id for r in assign.select("list_id").distinct().collect()}
     assert lists <= {r.centroid_id for r in cents.collect()}
+
+
+def test_cosine_topk_batch_matches_single(spark):
+    """k-NN join rows per query == the single-query operator's answer;
+    the rank filter must compile to a WindowGroupLimit partial top-k."""
+    from html_qt_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_batch,
+    )
+
+    emb = _clustered_embeddings(spark, n_clusters=8, per_cluster=8)
+    batch = cosine_topk_batch(emb, [0, 17], k=5)
+    got = {}
+    for r in batch.collect():
+        got.setdefault(r.q_id, []).append((r.rank, r.vec_id))
+    for q in (0, 17):
+        single = [(r.rank, r.vec_id)
+                  for r in cosine_topk(emb, q, 5).collect()]
+        assert sorted(got[q]) == sorted(single)
+    plan = batch._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan
