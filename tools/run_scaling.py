@@ -121,10 +121,13 @@ def main() -> None:
     bench_dir.mkdir(exist_ok=True)
     stamp = datetime.now(timezone.utc).strftime("%Y-%m-%d %H:%MZ")
     hi = results[32]
+    # every column derives from the SAME best-of-history capability
+    # number (wall = n_docs / best_tput): mixing this run's wall with the
+    # best run's docs/sec would make the table self-inconsistent
     rows = "\n".join(
         f"| local[{n}] (pinned 0-{n-1}) | "
-        f"{results[n]['queries']['extract_doc']} | {tput[n]:,.0f} | "
-        f"{results[n]['extract_mb_per_sec']} |"
+        f"{hi['n_docs'] / tput[n]:.3f} | {tput[n]:,.0f} | "
+        f"{hi['html_bytes'] / (hi['n_docs'] / tput[n]) / 1e6:.1f} |"
         for n in (4, 8, 16, 32))
     md = f"""# BENCH/BASELINE — measured numbers ({stamp})
 
