@@ -187,6 +187,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .agg(F.count("*").alias("n_events"),
                      F.floor(F.sum("value")).cast("long").alias("sum_value")))
 
+    def q_asof_join(spark, sf):
+        # kdb/pandas-merge_asof semantics via union + ordered window
+        # (ONE shuffle); oracle = DuckDB's native ASOF LEFT JOIN
+        from html_qt_spark.operators.timeseries import asof_join
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        purchases = ev.where(F.col("event_type") == "purchase") \
+            .select("event_id", "user_id", "ts", "value")
+        views = ev.where(F.col("event_type") == "view") \
+            .select("user_id", "ts", "value")
+        j = asof_join(purchases, views, on="ts", by="user_id",
+                      value_cols=["value"])
+        return j.select(
+            "event_id", "user_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+            F.unix_micros(F.col("asof_ts").cast("timestamp"))
+            .alias("asof_ts_us"),
+            F.round("asof_value", 3).alias("asof_value3"))
+
+    def q_range_join(spark, sf):
+        # interval containment via bin-equi-join decomposition; the
+        # oracle is the naive BETWEEN join (exact same pairs)
+        from html_qt_spark.operators.timeseries import range_join_binned
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        pts = ev.select("event_id", "value",
+                        F.unix_timestamp("ts").alias("ts_s"))
+        ranges = (pts.select(
+                      F.floor(F.col("ts_s") / 3600).alias("h"))
+                  .distinct().where(F.col("h") % 5 == 0)
+                  .select(F.col("h").alias("range_id"),
+                          (F.col("h") * 3600).alias("range_start"),
+                          (F.col("h") * 3600 + 7199).alias("range_end")))
+        joined = range_join_binned(pts, ranges, point_col="ts_s",
+                                   start_col="range_start",
+                                   end_col="range_end", bin_width=3600)
+        return (joined.groupBy("range_id")
+                .agg(F.count("*").alias("n_events"),
+                     F.floor(F.sum("value")).cast("long").alias("sum_v")))
+
     def q_cosine_topk(spark, sf):
         return similarity.cosine_topk(_emb(spark, sf), query_vec_id=0, k=10) \
             .select("vec_id", F.col("rank").cast("long").alias("rank"))
@@ -520,6 +558,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "region_nation_rollup": q_region_nation_rollup,
         "event_sessions": q_event_sessions,
         "event_windows": q_event_windows,
+        "asof_join": q_asof_join,
+        "range_join": q_range_join,
         "cosine_topk": q_cosine_topk,
         "cosine_topk_batch": q_cosine_topk_batch,
         "regex_tokens": q_regex_tokens,
@@ -894,6 +934,27 @@ def oracle_sql() -> dict[str, str]:
             "event_type, count(*) AS n_events, "
             "CAST(floor(sum(value)) AS BIGINT) AS sum_value "
             "FROM events GROUP BY 1, 2"),
+        "asof_join": (
+            "WITH l AS (SELECT event_id, user_id, ts, value FROM events "
+            "WHERE event_type = 'purchase'), "
+            "r AS (SELECT user_id, ts, value FROM events "
+            "WHERE event_type = 'view') "
+            "SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us, "
+            "epoch_us(r.ts) AS asof_ts_us, "
+            "round(r.value, 3) AS asof_value3 "
+            "FROM l ASOF LEFT JOIN r "
+            "ON l.user_id = r.user_id AND l.ts >= r.ts"),
+        "range_join": (
+            "WITH p AS (SELECT event_id, value, "
+            "CAST(floor(epoch(ts)) AS BIGINT) AS ts_s FROM events), "
+            "hrs AS (SELECT DISTINCT CAST(floor(ts_s / 3600) AS BIGINT) "
+            "AS h FROM p), "
+            "rg AS (SELECT h AS range_id, h * 3600 AS range_start, "
+            "h * 3600 + 7199 AS range_end FROM hrs WHERE h % 5 = 0) "
+            "SELECT rg.range_id, count(*) AS n_events, "
+            "CAST(floor(sum(p.value)) AS BIGINT) AS sum_v "
+            "FROM rg JOIN p ON p.ts_s BETWEEN rg.range_start "
+            "AND rg.range_end GROUP BY rg.range_id"),
         "regex_tokens": (
             r"SELECT doc_id, CAST(len(regexp_extract_all(text, "
             r"'[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT) "
