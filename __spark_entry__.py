@@ -269,6 +269,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                            token_budget=2000).select("doc_id", "n_tokens",
                                                      "shard_id")
 
+    def q_kmv_distinct(spark, sf):
+        # KMV distinct-count sketch per language (deterministic md5
+        # family -> the ESTIMATE itself is exact-oracle-checkable,
+        # unlike HLL's opaque binary sketch)
+        from html_qt_spark.operators.sketches import kmv_distinct
+        return kmv_distinct(_docs(spark, sf), col="text",
+                            group_col="lang", k=16)
+
     def q_gopher_quality(spark, sf):
         return textstats.gopher_quality(_docs(spark, sf))
 
@@ -568,6 +576,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scrub_pii": q_scrub_pii,
         "hash_sample": q_hash_sample,
         "pack_shards": q_pack_shards,
+        "kmv_distinct": q_kmv_distinct,
         "gopher_quality": q_gopher_quality,
         "unigram_logprob": q_unigram_logprob,
         "decontaminate": q_decontaminate,
@@ -1091,6 +1100,16 @@ def oracle_sql() -> dict[str, str]:
             "CAST(floor(coalesce(sum(n_tokens) OVER (ORDER BY doc_id "
             "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
             "/ 2000) AS BIGINT) AS shard_id FROM tc"),
+        "kmv_distinct": (
+            "WITH h AS (SELECT DISTINCT lang, "
+            "('0x' || substr(md5(text), 1, 8))::BIGINT / 4294967296.0 "
+            "AS _h FROM documents), "
+            "r AS (SELECT lang, _h, row_number() OVER "
+            "(PARTITION BY lang ORDER BY _h) AS rk FROM h) "
+            "SELECT lang, count(*) AS n_hashed, "
+            "CAST(CASE WHEN count(*) < 16 THEN count(*) "
+            "ELSE floor(15 / max(_h)) END AS BIGINT) AS est_distinct "
+            "FROM r WHERE rk <= 16 GROUP BY lang"),
         "gopher_quality": (
             "WITH t AS (SELECT doc_id, text, "
             "list_filter(string_split(text, ' '), x -> x <> '') AS toks, "

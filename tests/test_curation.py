@@ -239,3 +239,27 @@ def test_chunk_documents_tail_in_overlap_not_emitted(spark):
         by_doc.setdefault(r.doc_id, []).append(r)
     assert len(by_doc[1]) == 2 and by_doc[1][1].n_tokens == 12
     assert len(by_doc[2]) == 1
+
+
+def test_kmv_sketch_accuracy_and_exactness(spark):
+    from html_qt_spark.operators.sketches import kmv_distinct
+
+    # 1000 distinct values in group a, 7 in group b (exact regime)
+    rows = [(f"val-{i}", "a") for i in range(1000)]
+    rows += [(f"small-{i % 7}", "b") for i in range(50)]
+    df = spark.createDataFrame(rows, ["text", "lang"])
+    got = {r.lang: r for r in
+           kmv_distinct(df, col="text", group_col="lang",
+                        k=64).collect()}
+    assert got["b"].est_distinct == 7        # below-k groups are exact
+    assert got["b"].n_hashed == 7
+    # KMV with k=64: relative error ~ 1/sqrt(k-1) ≈ 12.6%; allow 3 sigma
+    assert 600 <= got["a"].est_distinct <= 1500, got["a"]
+    # global (ungrouped) mode: one row, same estimator
+    g = kmv_distinct(df, col="text", k=64).collect()
+    assert len(g) == 1 and 600 <= g[0].est_distinct <= 1600
+    # deterministic across runs
+    again = {r.lang: r.est_distinct for r in
+             kmv_distinct(df, col="text", group_col="lang",
+                          k=64).collect()}
+    assert again["a"] == got["a"].est_distinct
