@@ -148,3 +148,19 @@ def test_markdown_exploded_matches_doc_mode(spark):
     assert doc.count() == exp.count() == 500
     assert (doc.exceptAll(exp).count() == 0
             and exp.exceptAll(doc).count() == 0)
+
+
+def test_markdown_doc_quarantine_on_oversize(spark):
+    from html_qt_spark.operators.extract import extract_markdown_doc
+    from html_qt_spark.streaming.extract_stream import NESTED_SCHEMA
+
+    nested = spark.createDataFrame([
+        ("ok", [("text", "<p>fine</p>", None, 0)]),
+        ("big", [("text", "<p>" + "x" * 100 + "</p>", None, 0)]),
+    ], schema=NESTED_SCHEMA)
+    got = {r.doc_id: r for r in
+           extract_markdown_doc(nested, max_span_bytes=50).collect()}
+    assert not got["ok"].quarantined and got["ok"].markdown == "fine"
+    assert got["big"].quarantined
+    assert got["big"].n_segments == 0
+    assert got["big"].markdown.startswith("ValueError:oversize-span")
