@@ -132,9 +132,13 @@ def temperature_sample(docs: DataFrame, *, group_col: str = "lang",
     deterministic hash(salt || id) filter as :func:`hash_sample` — no
     RNG, layout-independent.
 
-    Plan: one tiny groupBy for counts (one row per group — languages or
-    domain classes, genuinely broadcast-sized), broadcast-joined back,
-    then a narrow filter.  No corpus shuffle at all.
+    Plan: one groupBy for counts (one row per group), joined back, then
+    a narrow filter.  The rates side is NOT force-broadcast: for
+    ``group_col=lang`` it is a few hundred rows and AQE broadcasts it
+    anyway, but for a high-cardinality group (per-domain rebalancing,
+    10^8 rows) a forced broadcast would be the executor-OOM anti-pattern
+    — a plain join lets AQE pick per actual size.  The 1-row global
+    minimum is the only forced broadcast.
 
     alpha=0.5 computes the rate via sqrt (IEEE-correctly-rounded in
     every engine) so the kept set is bit-reproducible cross-engine;
@@ -151,7 +155,7 @@ def temperature_sample(docs: DataFrame, *, group_col: str = "lang",
     rates = (counts.crossJoin(F.broadcast(min_n))
              .select(group_col, rate.alias("_rate")))
     m = 1_000_000
-    return (docs.join(F.broadcast(rates), group_col)
+    return (docs.join(rates, group_col)
             .where(_id_hash(id_col, salt, hash_fn) % m
                    < (F.col("_rate") * m).cast("long"))
             .drop("_rate"))

@@ -54,6 +54,7 @@ def run_curation_job(
     alpha: float = 0.5,
     max_per_source: int | None = None,
     token_budget: int = 2048,
+    pack_buckets: int = 16,
     collect_stats: bool = True,
 ) -> dict:
     """docs(doc_id, text, lang, source) -> packed shards under out_dir.
@@ -126,15 +127,25 @@ def run_curation_job(
         cur = _count("capped", cap_per_group(
             cur, group_col="source", max_per_group=max_per_source))
 
-    # 9. pack into ~token_budget shards per language partition (the
-    #    partitioned path — no global single-partition sort) and write,
-    #    laid out by (lang, shard_id) for sequential trainer reads
-    packed = pack_shards(token_count(cur).join(cur, "doc_id"),
-                         token_budget=token_budget,
-                         partition_cols=["lang"])
+    # 9. pack into ~token_budget shards and write, laid out by
+    #    (lang, pack bucket, shard_id) for sequential trainer reads.
+    #    Packing per (lang, hash-bucket) rather than per lang alone:
+    #    with a handful of languages, lang-only partitioning caps the
+    #    prefix-sum window at n_langs-way parallelism — ``pack_buckets``
+    #    deterministic hash buckets per language restore it (shard
+    #    identity is namespaced by the full partition tuple, so shards
+    #    stay budget-bounded either way).
+    packed = pack_shards(
+        (token_count(cur).join(cur, "doc_id")
+         .withColumn("pack_bucket",
+                     F.pmod(F.xxhash64(F.col("doc_id").cast("string")),
+                            F.lit(pack_buckets)))),
+        token_budget=token_budget,
+        partition_cols=["lang", "pack_bucket"])
     (packed.select("doc_id", "lang", "source", "text", "n_tokens",
-                   "shard_id")
-     .write.mode("overwrite").partitionBy("lang", "shard_id")
+                   "pack_bucket", "shard_id")
+     .write.mode("overwrite").partitionBy("lang", "pack_bucket",
+                                          "shard_id")
      .parquet(f"{out_dir}/shards"))
     if collect_stats:
         stats["written"] = spark.read.parquet(f"{out_dir}/shards").count()

@@ -46,9 +46,9 @@ def test_curation_job_end_to_end(spark, tmp_path_factory):
     # the planted benchmark docs were decontaminated away
     leaked = shards.join(bench.select("doc_id"), "doc_id").count()
     assert leaked == 0
-    # shard token budgets hold per (lang, shard): total <= budget + one
-    # doc overhang
-    over = (shards.groupBy("lang", "shard_id")
+    # shard token budgets hold per (lang, bucket, shard): total <=
+    # budget + one doc overhang
+    over = (shards.groupBy("lang", "pack_bucket", "shard_id")
             .agg(F.sum("n_tokens").alias("tot"),
                  F.max("n_tokens").alias("mx"))
             .where(F.col("tot") > 512 + F.col("mx")).count())
