@@ -18,7 +18,7 @@ from __future__ import annotations
 from collections.abc import Iterable
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming import StreamingQuery
@@ -75,6 +75,121 @@ def stream_dedup(
               .option("path", out_dir)
               .option("checkpointLocation", checkpoint_dir)
               .outputMode("append"))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+# --------------------------------------------------- streaming near-dup
+
+def _band_buckets_udf(num_hashes: int, bands: int, shingle_n: int):
+    """Row-local MinHash banding: each document computes its band bucket
+    strings entirely within its own row (hashlib md5 — the same portable
+    family as the batch operator), so NO streaming aggregation is needed
+    to build signatures: the stream stays a narrow map until the
+    bucket-store join."""
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def buckets(text: pd.Series) -> pd.Series:
+        import hashlib
+
+        rows_per_band = num_hashes // bands
+
+        def doc_buckets(t):
+            toks = [x for x in (t or "").split(" ") if x]
+            sh = {" ".join(toks[i:i + shingle_n])
+                  for i in range(max(len(toks) - shingle_n + 1, 0))}
+            if not sh:
+                return []
+            sigs = [
+                min(hashlib.md5(f"{j}:{s}".encode()).hexdigest()
+                    for s in sh)
+                for j in range(num_hashes)
+            ]
+            return [
+                f"{b}:" + hashlib.md5(
+                    "|".join(sigs[b * rows_per_band:
+                                  (b + 1) * rows_per_band]).encode()
+                ).hexdigest()
+                for b in range(bands)
+            ]
+
+        return text.map(doc_buckets)
+
+    return buckets
+
+
+def stream_near_dedup(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    bucket_store: str,
+    *,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """Incremental MinHash-LSH near-duplicate dedup over a document
+    stream: a document is dropped when ANY of its signature bands
+    matches a band bucket already claimed by an earlier document —
+    the streaming counterpart of ``dedup.minhash_lsh_pairs`` +
+    first-wins.
+
+    Architecture (the production incremental-dedup pattern): signatures
+    are row-local (no streaming agg), and the cross-batch memory is an
+    explicit ``bucket_store`` table updated in ``foreachBatch`` —
+    per batch: (1) intra-batch first-wins per bucket (keyed window),
+    (2) anti-join the batch's buckets against the store, (3) write
+    survivors, (4) append the survivors' buckets.  At scale the store
+    is an Iceberg/Delta table with a MERGE; the parquet-append sandbox
+    stand-in has an at-least-once caveat on step 4 (a retried batch may
+    re-append bucket rows — harmless, the store is a set and reads
+    dedup), while step 3 stays exactly-once via the streaming
+    checkpoint.
+    """
+    from pathlib import Path
+
+    buckets_udf = _band_buckets_udf(num_hashes, bands, shingle_n)
+
+    def process_batch(batch: DataFrame, _epoch: int) -> None:
+        s = batch.sparkSession
+        docs = batch.withColumn("_bs", buckets_udf("text"))
+        exploded = docs.select("doc_id",
+                               F.explode("_bs").alias("bucket"))
+        # intra-batch first-wins: a doc is dropped if any of its buckets
+        # is owned by a smaller doc_id in the same batch
+        w = Window.partitionBy("bucket")
+        intra_dup = (exploded
+                     .withColumn("_min", F.min("doc_id").over(w))
+                     .where(F.col("doc_id") != F.col("_min"))
+                     .select("doc_id").distinct())
+        # cross-batch: any bucket already in the store kills the doc
+        if Path(bucket_store).exists():
+            store = s.read.parquet(bucket_store).select("bucket") \
+                .distinct()
+            cross_dup = (exploded.join(store, "bucket")
+                         .select("doc_id").distinct())
+            dups = intra_dup.union(cross_dup).distinct()
+        else:
+            dups = intra_dup
+        survivors = docs.join(dups, "doc_id", "left_anti") \
+            .localCheckpoint()
+        (survivors.drop("_bs")
+         .write.mode("append").parquet(out_dir))
+        (survivors.select("doc_id", F.explode("_bs").alias("bucket"))
+         .select("bucket").distinct()
+         .write.mode("append").parquet(bucket_store))
+
+    reader = spark.readStream.schema(DOC_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(input_dir)
+    writer = (stream.writeStream
+              .foreachBatch(process_batch)
+              .option("checkpointLocation", checkpoint_dir))
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()

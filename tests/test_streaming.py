@@ -157,3 +157,47 @@ def test_stream_markdown_matches_batch(spark, tmp_path):
                         mode="markdown")
     q2.awaitTermination(300)
     assert spark.read.parquet(out_dir).count() == 100
+
+
+def test_stream_near_dedup_lsh(spark, tmp_path):
+    """Streaming MinHash-LSH near-dup: a later near-duplicate (one word
+    changed) of an earlier doc is dropped across micro-batches; unique
+    docs survive; restart re-emits nothing."""
+    from html_qt_spark.streaming.dedup_stream import (
+        DOC_SCHEMA,
+        stream_near_dedup,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog while rain "
+            "falls gently on the quiet village roofs tonight ") * 4
+    near = base.replace("gently", "softly", 1)
+    uniq = ("completely different content about distributed query "
+            "engines and columnar execution with vectorized batches")
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    store = str(tmp_path / "store")
+    # batch 1: base + an intra-batch near-dup (id 20 loses to id 10)
+    spark.createDataFrame(
+        [(10, base), (20, base + " extra")], DOC_SCHEMA
+    ).write.mode("append").parquet(in_dir)
+    q = stream_near_dedup(spark, in_dir, out_dir, ckpt, store,
+                          bands=8, available_now=True)
+    q.awaitTermination(300)
+    got1 = {r.doc_id for r in spark.read.parquet(out_dir).collect()}
+    assert got1 == {10}
+    # batch 2: near-dup of batch-1 doc (dropped) + unique doc (kept)
+    spark.createDataFrame(
+        [(30, near), (40, uniq)], DOC_SCHEMA
+    ).write.mode("append").parquet(in_dir)
+    q2 = stream_near_dedup(spark, in_dir, out_dir, ckpt, store,
+                           bands=8, available_now=True)
+    q2.awaitTermination(300)
+    got2 = {r.doc_id for r in spark.read.parquet(out_dir).collect()}
+    assert got2 == {10, 40}, got2
+    # restart with nothing new: no re-emission
+    q3 = stream_near_dedup(spark, in_dir, out_dir, ckpt, store,
+                           bands=8, available_now=True)
+    q3.awaitTermination(300)
+    assert {r.doc_id
+            for r in spark.read.parquet(out_dir).collect()} == {10, 40}
