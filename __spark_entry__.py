@@ -547,30 +547,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return chunk_documents(_docs(spark, sf), chunk_tokens=40,
                                overlap=8)
 
+    # Registration ORDER is part of the driver contract: the driver's
+    # correctness artifact caps at the FIRST 50 entries.  Round-4 order
+    # (VERDICT r3 task #1): the 13 queries that fell past the cap in r3
+    # lead; new round-4 queries follow; 17 triple-driver-green stable
+    # entries (green rows in CORRECTNESS_r01+r02+r03) are rotated past
+    # the cap — every registered query keeps >=1 driver-green row across
+    # rounds.  All entries remain locally parity-checked regardless of
+    # position (tools/check_parity.py runs the full dict).
     return {
-        "explode_spans": q_explode_spans,
-        "media_filter": q_media_filter,
-        "span_stats": q_span_stats,
-        "span_order": q_span_order,
-        "media_join": q_media_join,
-        "metrics_rollup": q_metrics_rollup,
-        "exact_dedup": q_exact_dedup,
-        "minhash_signatures": q_minhash_signatures,
-        "token_count": q_token_count,
-        "quality_score": q_quality_score,
-        "lang_id": q_lang_id,
-        "fingerprint": q_fingerprint,
-        "lang_dist": q_lang_dist,
-        "pricing_summary": q_pricing_summary,
-        "top_customers": q_top_customers,
-        "region_nation_rollup": q_region_nation_rollup,
+        # -- r3 driver-capped (4 of these never had a driver row) -----
+        "doc_metadata": q_doc_metadata,
+        "clean_corpus": q_clean_corpus,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "dup_components": q_dup_components,
+        "dup_components_star": q_dup_components_star,
+        "simhash": q_simhash,
+        "ngram_jaccard": q_ngram_jaccard,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "ivf_topk": q_ivf_topk,
+        "media_decode": q_media_decode,
+        "frame_sample": q_frame_sample,
+        "resize_plan": q_resize_plan,
+        "chunk_docs": q_chunk_docs,
+        # -- extraction flagship + r3-first-green ----------------------
+        "extract_doc": q_extract_doc,
+        "extract_exploded": q_extract_exploded,
+        "extract_compat": q_extract_compat,
+        "extract_chunked": q_extract_chunked,
+        "extract_fragments": q_extract_fragments,
+        "extract_markdown": q_extract_markdown,
+        "doc_parse_stats": q_doc_parse_stats,
         "event_sessions": q_event_sessions,
         "event_windows": q_event_windows,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "cosine_topk": q_cosine_topk,
         "cosine_topk_batch": q_cosine_topk_batch,
-        "regex_tokens": q_regex_tokens,
         "cosine_dupes": q_cosine_dupes,
         "cosine_dupes_lsh": q_cosine_dupes_lsh,
         "scrub_pii": q_scrub_pii,
@@ -591,26 +604,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "para_filter_common": q_para_filter_common,
         "tfidf_top": q_tfidf_top,
         "length_percentiles": q_length_percentiles,
-        "extract_doc": q_extract_doc,
-        "extract_exploded": q_extract_exploded,
-        "extract_compat": q_extract_compat,
-        "extract_chunked": q_extract_chunked,
-        "extract_fragments": q_extract_fragments,
-        "extract_markdown": q_extract_markdown,
-        "doc_parse_stats": q_doc_parse_stats,
-        "doc_metadata": q_doc_metadata,
-        "clean_corpus": q_clean_corpus,
-        "minhash_lsh_pairs": q_minhash_lsh_pairs,
-        "dup_components": q_dup_components,
-        "dup_components_star": q_dup_components_star,
-        "simhash": q_simhash,
-        "ngram_jaccard": q_ngram_jaccard,
-        "ann_lsh_topk": q_ann_lsh_topk,
-        "ivf_topk": q_ivf_topk,
-        "media_decode": q_media_decode,
-        "frame_sample": q_frame_sample,
-        "resize_plan": q_resize_plan,
-        "chunk_docs": q_chunk_docs,
+        # -- rotated past the driver cap: stable, driver-green in
+        # -- r1+r2+r3 (still locally parity-checked every round) -------
+        "explode_spans": q_explode_spans,
+        "media_filter": q_media_filter,
+        "span_stats": q_span_stats,
+        "span_order": q_span_order,
+        "media_join": q_media_join,
+        "metrics_rollup": q_metrics_rollup,
+        "exact_dedup": q_exact_dedup,
+        "minhash_signatures": q_minhash_signatures,
+        "token_count": q_token_count,
+        "quality_score": q_quality_score,
+        "lang_id": q_lang_id,
+        "fingerprint": q_fingerprint,
+        "lang_dist": q_lang_dist,
+        "pricing_summary": q_pricing_summary,
+        "top_customers": q_top_customers,
+        "region_nation_rollup": q_region_nation_rollup,
+        "regex_tokens": q_regex_tokens,
     }
 
 
