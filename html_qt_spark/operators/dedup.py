@@ -91,12 +91,17 @@ def minhash_lsh_pairs(docs: DataFrame, *, num_hashes: int = 16,
     Hot-bucket cap: a degenerate band value (e.g. millions of boilerplate
     or near-empty docs sharing one bucket) makes the self-join quadratic
     in that bucket, so buckets holding more than ``max_docs_per_bucket``
-    docs are dropped before the join (same prune as
-    :func:`ngram_jaccard_pairs`'s ``max_pairs_per_shingle``).  Members of
-    a dropped bucket are near-identical en masse; exact_dedup (or a
-    follow-up pass on the dropped buckets alone) handles them at linear
-    cost.  Singleton buckets are pruned in the same pass.
-    Returns (doc_a, doc_b) with doc_a < doc_b, distinct.
+    docs are excluded from the join (same prune as
+    :func:`ngram_jaccard_pairs`'s ``max_pairs_per_shingle``).  They are
+    NOT dropped: an over-cap bucket instead emits STAR pairs
+    (bucket-min doc_id → every other member) at linear cost, so the
+    near-dup cluster still forms — connected components collapses the
+    star into one component exactly as it would the quadratic pair set,
+    since every member is reachable through the hub.  The star hub is
+    ``min(doc_id)`` per (band, bucket), computed in the SAME window pass
+    as the cap count (no extra shuffle); a mega-bucket of size m costs
+    m-1 pairs instead of C(m,2).  Singleton buckets are pruned in the
+    same pass.  Returns (doc_a, doc_b) with doc_a < doc_b, distinct.
     """
     sig = minhash_signatures(docs, num_hashes=num_hashes)
     rows_per_band = num_hashes // bands
@@ -117,12 +122,24 @@ def minhash_lsh_pairs(docs: DataFrame, *, num_hashes: int = 16,
     # partition, which is exactly the same placement the join shuffle
     # would produce — no new skew exposure, and the cap then drops it.
     w_bucket = Window.partitionBy("band", "bucket")
-    capped = (buckets
-              .withColumn("_n", F.count("*").over(w_bucket))
-              .where(F.col("_n").between(2, max_docs_per_bucket))
-              .drop("_n"))
-    a = capped.alias("a")
-    b = capped.alias("b")
+    annotated = (buckets
+                 .withColumn("_n", F.count("*").over(w_bucket))
+                 .withColumn("_hub", F.min("doc_id").over(w_bucket)))
+    # The star path costs NO extra plan branch: restrict the LEFT side
+    # of the self-join to under-cap members plus mega-bucket hubs.  For
+    # a normal bucket both sides hold every member -> full pair set;
+    # for a mega bucket the left side holds only the hub, so the join
+    # emits exactly the m-1 star pairs (doc_a < doc_b holds because the
+    # hub is the bucket min).  Same two filtered reads of one window
+    # output, same single bucket-table shuffle as the plain cap.
+    left = (annotated
+            .where((F.col("_n") >= 2)
+                   & ((F.col("_n") <= max_docs_per_bucket)
+                      | (F.col("doc_id") == F.col("_hub"))))
+            .drop("_n", "_hub"))
+    right = annotated.where(F.col("_n") >= 2).drop("_n", "_hub")
+    a = left.alias("a")
+    b = right.alias("b")
     return (
         a.join(b, ["band", "bucket"])
         .where(F.col("a.doc_id") < F.col("b.doc_id"))

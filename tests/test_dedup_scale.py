@@ -40,14 +40,47 @@ def test_lsh_hot_bucket_cap_bounds_pairs(spark):
 
     docs = _skewed_docs(spark)
     # 2,000 identical docs share every band bucket: uncapped this is
-    # ~2M pairs x 4 bands; capped at 100 the hot buckets are dropped
+    # ~2M pairs x 4 bands; capped at 100 the hot buckets switch to
+    # linear STAR pairs (hub = bucket-min -> each member): 1,999 pairs,
+    # not C(2000,2) — the cluster still forms, at linear cost
     capped = minhash_lsh_pairs(docs, max_docs_per_bucket=100)
     n = capped.count()
-    assert n == 0  # the only colliding group exceeded the cap
+    assert n == 1999
 
-    # raising the cap above the group size re-admits the pairs
+    # raising the cap above the group size re-admits the full pair set
     admitted = minhash_lsh_pairs(docs, max_docs_per_bucket=5000)
     assert admitted.count() == 2000 * 1999 // 2
+
+
+def test_lsh_mega_bucket_star_clusters_everything(spark):
+    """VERDICT r3 task #4: members of an over-cap bucket must still end
+    up in ONE dedup component (previously they were dropped entirely).
+    Mixed corpus: a 50-doc boilerplate mega-group (over the cap) plus a
+    2-doc near-dup pair (under the cap) plus uniques."""
+    from html_qt_spark.operators.dedup import (
+        connected_components,
+        minhash_lsh_pairs,
+    )
+
+    rows = [(i, "identical boilerplate footer text repeated every page")
+            for i in range(50)]
+    rows += [(100, "alpha beta gamma delta epsilon zeta"),
+             (101, "alpha beta gamma delta epsilon zeta"),
+             (200, "totally unrelated content nine ten eleven twelve")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = minhash_lsh_pairs(docs, max_docs_per_bucket=10)
+    rows_p = pairs.collect()
+    star = [(r.doc_a, r.doc_b) for r in rows_p if r.doc_b < 100]
+    # linear star: every mega-bucket pair is (hub=0, member), 49 pairs
+    assert len(star) == 49 and all(a == 0 for a, _ in star)
+    assert (0, 1) in star and (0, 49) in star
+    # the under-cap bucket still takes the join path
+    assert (100, 101) in [(r.doc_a, r.doc_b) for r in rows_p]
+    comp = {r.doc_id: r.component_id
+            for r in connected_components(pairs).collect()}
+    assert all(comp[i] == 0 for i in range(50))  # one cluster
+    assert comp[100] == comp[101] == 100
+    assert 200 not in comp  # no pair, not a duplicate
 
 
 def test_lsh_cap_keeps_small_buckets(spark):
