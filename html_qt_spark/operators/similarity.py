@@ -249,6 +249,60 @@ def ivf_centroids(embeddings: DataFrame, *, n_centroids: int = 8,
             .drop("_p"))
 
 
+def kmeans_centroids(embeddings: DataFrame, *, n_centroids: int = 8,
+                     n_iter: int = 1, salt: str = "ivf",
+                     hash_fn: str = "xxhash64") -> DataFrame:
+    """Trained IVF coarse quantizer: Lloyd's k-means, entirely in
+    DataFrame ops (VERDICT r3 task #3 — makes the ANN surface
+    production-shaped; the probed-list search design is unchanged).
+
+    Init = the deterministic hash-seeded sample (:func:`ivf_centroids`),
+    then ``n_iter`` Lloyd rounds: assign every vector to its
+    highest-cosine centroid (:func:`ivf_assign` — broadcast centroids,
+    map-side-combined n-row shuffle), recompute each centroid as the
+    element-wise mean of its list.  The mean runs as posexplode →
+    groupBy(list_id, dim) avg → array rebuild: two keyed shuffles of
+    n·d and k·d rows per round — no corpus collect, no per-row Python.
+    A list that captures no vectors keeps its previous centroid (the
+    standard empty-cluster rule, and it preserves the centroid count).
+
+    Each round ends in ``localCheckpoint`` to cut the iterative lineage
+    (same pattern as dedup.connected_components).  The result feeds
+    :func:`ivf_topk` via its ``centroids=`` parameter; n_probe =
+    n_centroids exactness is independent of WHERE the centroids sit, so
+    the pinned invariant survives training.
+
+    Determinism note: float summation order inside avg() varies with
+    partitioning, so centroid coordinates are deterministic only to
+    float round-off; assignments (argmax over well-separated clusters)
+    are stable.  Returns (centroid_id, c_emb:array<double>).
+    """
+    cents = (ivf_centroids(embeddings, n_centroids=n_centroids,
+                           salt=salt, hash_fn=hash_fn)
+             .select("centroid_id",
+                     F.transform("c_emb", lambda x: x.cast("double"))
+                     .alias("c_emb")))
+    for _ in range(n_iter):
+        assign = ivf_assign(embeddings, cents)
+        means = (embeddings.join(assign, "vec_id")
+                 .select("list_id",
+                         F.posexplode("embedding").alias("dim", "x"))
+                 .groupBy("list_id", "dim")
+                 .agg(F.avg(F.col("x").cast("double")).alias("m")))
+        new = (means
+               .groupBy("list_id")
+               .agg(F.array_sort(
+                   F.collect_list(F.struct("dim", "m"))).alias("pm"))
+               .select(F.col("list_id").alias("centroid_id"),
+                       F.transform("pm", lambda s: s["m"])
+                       .alias("c_new")))
+        cents = (cents.join(new, "centroid_id", "left")
+                 .select("centroid_id",
+                         F.coalesce("c_new", "c_emb").alias("c_emb"))
+                 .localCheckpoint())
+    return cents
+
+
 def ivf_assign(embeddings: DataFrame, centroids: DataFrame) -> DataFrame:
     """(vec_id, list_id): each vector joins its highest-cosine centroid.
 
@@ -272,7 +326,8 @@ def ivf_assign(embeddings: DataFrame, centroids: DataFrame) -> DataFrame:
 def ivf_topk(embeddings: DataFrame, query_vec_id: int = 0, k: int = 10,
              *, n_centroids: int = 8, n_probe: int = 2,
              salt: str = "ivf", hash_fn: str = "xxhash64",
-             centroids: DataFrame | None = None) -> DataFrame:
+             centroids: DataFrame | None = None,
+             trained: bool = False, n_iter: int = 1) -> DataFrame:
     """IVF-style ANN: coarse-quantize the corpus into ``n_centroids``
     inverted lists, probe the ``n_probe`` lists nearest the query, exact
     cosine re-rank within them — the standard alternative to SRP-LSH
@@ -290,8 +345,14 @@ def ivf_topk(embeddings: DataFrame, query_vec_id: int = 0, k: int = 10,
     probe table is n_probe rows (broadcast), and the candidate join is
     corpus-sized on the stream side only.  Returns (vec_id, cos) top-k.
     """
-    cents = centroids if centroids is not None else ivf_centroids(
-        embeddings, n_centroids=n_centroids, salt=salt, hash_fn=hash_fn)
+    if centroids is not None:
+        cents = centroids
+    elif trained:
+        cents = kmeans_centroids(embeddings, n_centroids=n_centroids,
+                                 n_iter=n_iter, salt=salt, hash_fn=hash_fn)
+    else:
+        cents = ivf_centroids(embeddings, n_centroids=n_centroids,
+                              salt=salt, hash_fn=hash_fn)
     assign = ivf_assign(embeddings, cents)
     qvec = (embeddings.where(F.col("vec_id") == query_vec_id)
             .select(F.col("embedding").alias("q_emb")))

@@ -245,3 +245,71 @@ def test_cosine_topk_batch_matches_single(spark):
         assert sorted(got[q]) == sorted(single)
     plan = batch._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_kmeans_keeps_centroid_count_and_shape(spark):
+    """One Lloyd round: still exactly n_centroids rows (empty lists keep
+    their previous centroid), arrays stay dim-length and finite."""
+    from html_qt_spark.operators.similarity import kmeans_centroids
+
+    emb = _clustered_embeddings(spark, n_clusters=10, per_cluster=10)
+    cents = kmeans_centroids(emb, n_centroids=6, n_iter=1).collect()
+    assert len(cents) == 6
+    assert len({r.centroid_id for r in cents}) == 6
+    for r in cents:
+        assert len(r.c_emb) == DIM
+        assert all(abs(x) < 10 for x in r.c_emb)
+
+
+def test_ivf_trained_full_probe_still_exact(spark):
+    """The n_probe = n_centroids exactness invariant is independent of
+    where the centroids sit, so it must survive training."""
+    from html_qt_spark.operators.similarity import cosine_topk, ivf_topk
+
+    emb = _clustered_embeddings(spark, n_clusters=8, per_cluster=8)
+    for q in (0, 40):
+        exact = [r.vec_id for r in cosine_topk(emb, q, 9).collect()]
+        full = [r.vec_id for r in ivf_topk(emb, q, 9, n_centroids=4,
+                                           n_probe=4, trained=True,
+                                           n_iter=2).collect()]
+        assert full == exact
+
+
+def test_kmeans_trained_centroids_raise_recall(spark):
+    """VERDICT r3 task #3 'done' gate: at fixed n_probe=1 (the harshest
+    setting — a cluster split across two Voronoi cells loses its far
+    half), Lloyd-trained centroids beat the raw hash-seeded sample on
+    planted clusters, because training moves each centroid to its
+    region's mean and cluster members then quantize together."""
+    from html_qt_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+        kmeans_centroids,
+    )
+
+    # noise=0.45: clusters broad enough that at least one straddles a
+    # seeded Voronoi boundary (tight clusters make the seeded baseline
+    # already perfect and the comparison vacuous)
+    emb = _clustered_embeddings(spark, n_clusters=16, per_cluster=12,
+                                noise=0.45)
+    queries = [0, 37, 80, 123, 150, 185]
+
+    def mean_recall(cents):
+        recalls = []
+        for q in queries:
+            exact = {r.vec_id for r in cosine_topk(emb, q, 11).collect()}
+            got = {r.vec_id
+                   for r in ivf_topk(emb, q, 11, centroids=cents,
+                                     n_probe=1).collect()}
+            recalls.append(len(exact & got) / 11)
+        return sum(recalls) / len(recalls)
+
+    from html_qt_spark.operators.similarity import ivf_centroids
+
+    seeded = ivf_centroids(emb, n_centroids=8).localCheckpoint()
+    trained = kmeans_centroids(emb, n_centroids=8, n_iter=3) \
+        .localCheckpoint()
+    r_seed = mean_recall(seeded)
+    r_train = mean_recall(trained)
+    assert r_train > r_seed, (r_seed, r_train)
+    assert r_train >= 0.8, r_train
