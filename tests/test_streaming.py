@@ -201,3 +201,121 @@ def test_stream_near_dedup_lsh(spark, tmp_path):
     q3.awaitTermination(300)
     assert {r.doc_id
             for r in spark.read.parquet(out_dir).collect()} == {10, 40}
+
+
+def test_near_dedup_store_pruned_and_compacted(spark, tmp_path):
+    """VERDICT r3 task #2: per-batch store reads must be partition-
+    PRUNED (not full-scan) and compaction must bound the store's file
+    count — with output rows identical to the full-scan semantics."""
+    import collections
+    from pathlib import Path
+
+    from html_qt_spark.streaming.dedup_stream import (
+        DOC_SCHEMA,
+        compact_bucket_store,
+        pruned_store_read,
+        stream_near_dedup,
+    )
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    store = str(tmp_path / "store")
+    texts = {}
+
+    def doc(i, base_words):
+        return (i, " ".join(base_words) + f" tail{i % 3}")
+
+    # 6 micro-batches x 4 docs: three recurring near-dup families +
+    # uniques; maxFilesPerTrigger=1 forces one batch per input file
+    base_a = ["alpha beta gamma delta epsilon zeta eta theta"] * 3
+    n_batches = 6
+    expect_seen: dict[str, int] = {}
+    for b in range(n_batches):
+        rows = [doc(100 * b + j, base_a) for j in range(3)]
+        rows.append((100 * b + 50,
+                     f"unique content batch {b} about engines "
+                     f"and columnar execution run{b} word{b}"))
+        for i, t in rows:
+            texts[i] = t
+        spark.createDataFrame(rows, DOC_SCHEMA).coalesce(1) \
+            .write.mode("append").parquet(in_dir)
+    q = stream_near_dedup(spark, in_dir, out_dir, ckpt, store,
+                          bands=8, available_now=True,
+                          max_files_per_trigger=1, compact_every=3)
+    q.awaitTermination(600)
+
+    got = {r.doc_id for r in spark.read.parquet(out_dir).collect()}
+    # reference semantics (full-scan first-wins): replay in plain python
+    from html_qt_spark.streaming.dedup_stream import _band_buckets_udf
+    import pandas as pd
+    udf_fn = None  # compute buckets via the same row-local logic
+    import hashlib
+
+    def buckets_of(t, num_hashes=16, bands=8, shingle_n=3):
+        toks = [x for x in t.split(" ") if x]
+        sh = {" ".join(toks[i:i + shingle_n])
+              for i in range(max(len(toks) - shingle_n + 1, 0))}
+        if not sh:
+            return []
+        rpb = num_hashes // bands
+        sigs = [min(hashlib.md5(f"{j}:{s}".encode()).hexdigest()
+                    for s in sh) for j in range(num_hashes)]
+        return [f"{b}:" + hashlib.md5(
+            "|".join(sigs[b * rpb:(b + 1) * rpb]).encode()).hexdigest()
+            for b in range(bands)]
+
+    # replay the operator's exact semantics: intra-batch a doc survives
+    # iff it is the batch-min owner of EVERY one of its buckets; cross-
+    # batch it additionally must touch no already-claimed bucket
+    claimed: set[str] = set()
+    expect: set[int] = set()
+    for b in range(n_batches):
+        batch_ids = sorted([100 * b + j for j in range(3)] + [100 * b + 50])
+        bucket_min: dict[str, int] = {}
+        for i in batch_ids:
+            for x in buckets_of(texts[i]):
+                bucket_min[x] = min(bucket_min.get(x, i), i)
+        survivors = [
+            i for i in batch_ids
+            if all(bucket_min[x] == i for x in buckets_of(texts[i]))
+            and not any(x in claimed for x in buckets_of(texts[i]))]
+        expect |= set(survivors)
+        claimed |= {x for i in survivors for x in buckets_of(texts[i])}
+    assert got == expect, (got, expect)
+
+    # store layout: hash-prefix partitioned
+    pfx_dirs = [p.name for p in Path(store).iterdir()
+                if p.name.startswith("pfx=")]
+    assert pfx_dirs, list(Path(store).iterdir())
+
+    # pruning: the plan must carry a PartitionFilter on pfx (directory
+    # pruning, not a post-scan filter) …
+    one = pfx_dirs[0].split("=", 1)[1]
+    pruned = pruned_store_read(spark, store, [one])
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "pfx" in \
+        plan.split("PartitionFilters", 1)[1][:80], plan
+    # … and functionally: plant a garbage file in ANOTHER partition —
+    # a pruned read never opens that directory, a full scan would choke
+    bad_dir = Path(store) / "pfx=zz"
+    bad_dir.mkdir()
+    (bad_dir / "part-garbage.parquet").write_bytes(b"not parquet at all")
+    assert pruned_store_read(spark, store, [one]).count() >= 1
+    with pytest.raises(Exception):
+        pruned_store_read(spark, store, ["zz"]).count()
+    import shutil as _sh
+    _sh.rmtree(bad_dir)
+
+    # compaction: after an explicit compact, each partition holds ONE
+    # file and the bucket set is unchanged
+    before = set(r.bucket for r in
+                 spark.read.parquet(store).select("bucket").collect())
+    compact_bucket_store(spark, store)
+    after_df = spark.read.parquet(store)
+    after = set(r.bucket for r in after_df.select("bucket").collect())
+    assert after == before
+    per_dir = collections.Counter()
+    for p in Path(store).rglob("*.parquet"):
+        per_dir[p.parent.name] += 1
+    assert per_dir and all(v == 1 for v in per_dir.values()), per_dir
