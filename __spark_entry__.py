@@ -553,6 +553,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return chunk_documents(_docs(spark, sf), chunk_tokens=40,
                                overlap=8)
 
+    def q_subword_tokens(spark, sf):
+        # corpus-derived greedy longest-match subword counts (r4):
+        # vocab = top-64 char 2..4-grams; the collect is index-sized
+        docs = _docs(spark, sf)
+        vocab = [r.piece for r in textstats.subword_vocab(
+            docs, vocab_size=64, min_len=2, max_len=4).collect()]
+        return textstats.subword_token_count(docs, vocab,
+                                             min_len=2, max_len=4)
+
     # Registration ORDER is part of the driver contract: the driver's
     # correctness artifact caps at the FIRST 50 entries.  Round-4 order
     # (VERDICT r3 task #1): the 13 queries that fell past the cap in r3
@@ -577,6 +586,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_sample": q_frame_sample,
         "resize_plan": q_resize_plan,
         "chunk_docs": q_chunk_docs,
+        # -- new in round 4 --------------------------------------------
+        "subword_tokens": q_subword_tokens,
         # -- extraction flagship + r3-first-green ----------------------
         "extract_doc": q_extract_doc,
         "extract_exploded": q_extract_exploded,
@@ -682,6 +693,44 @@ _LSH_ORACLE = f"WITH {_LSH_CTES} {_LSH_PAIRS_SELECT}"
 # buckets take the star path, so the driver artifact itself covers the
 # over-cap branch on real data
 _LSH_MEGA_ORACLE = f"WITH {_lsh_ctes(2)} {_LSH_PAIRS_SELECT}"
+
+# subword token counts: recompute the ENTIRE pipeline in SQL — the
+# corpus-derived top-64 2..4-gram vocab (same total ordering: count
+# desc, piece asc) and the greedy longest-match walk as a recursive CTE
+# stepping one match per iteration.  The length()=L guards mirror the
+# engine's per-length vocab arrays, which can never match a shorter
+# end-of-word remainder.
+def _subword_probe(ln: int) -> str:
+    sub = f"substr(w, CAST(pos AS INT), {ln})"
+    return (f"WHEN list_contains((SELECT v FROM vlist), {sub}) "
+            f"AND length({sub}) = {ln} THEN {ln}")
+
+
+_SUBWORD_ORACLE = (
+    "WITH RECURSIVE "
+    "ts AS (SELECT doc_id, list_filter(string_split(text, ' '), "
+    "x -> x <> '') AS toks FROM documents), "
+    "words AS (SELECT doc_id, unnest(toks) AS w FROM ts), "
+    "wlen AS (SELECT w, unnest(range(2, 5)) AS l FROM words), "
+    "wpos AS (SELECT w, l, unnest(range(1, length(w) - l + 2)) AS i "
+    "FROM wlen), "
+    "pieces AS (SELECT substr(w, CAST(i AS INT), CAST(l AS INT)) "
+    "AS piece FROM wpos), "
+    "vocab AS (SELECT piece, count(*) AS n FROM pieces GROUP BY piece "
+    "ORDER BY n DESC, piece LIMIT 64), "
+    "vlist AS (SELECT list(piece) AS v FROM vocab), "
+    "wi AS (SELECT doc_id, row_number() OVER () AS wid, w FROM words), "
+    "step(doc_id, wid, w, pos, cnt) AS ("
+    "SELECT doc_id, wid, w, 1, 0 FROM wi "
+    "UNION ALL SELECT doc_id, wid, w, "
+    f"pos + CASE {_subword_probe(4)} {_subword_probe(3)} "
+    f"{_subword_probe(2)} ELSE 1 END, cnt + 1 "
+    "FROM step WHERE pos <= length(w)), "
+    "wc AS (SELECT doc_id, wid, max(cnt) AS c FROM step "
+    "GROUP BY doc_id, wid), "
+    "agg AS (SELECT doc_id, sum(c) AS n FROM wc GROUP BY doc_id) "
+    "SELECT d.doc_id, CAST(coalesce(a.n, 0) AS BIGINT) "
+    "AS n_subword_tokens FROM documents d LEFT JOIN agg a USING (doc_id)")
 
 # connected components over the LSH candidate pairs: exact transitive
 # closure via a recursive CTE (fine at oracle scale), min reachable
@@ -1077,6 +1126,7 @@ def oracle_sql() -> dict[str, str]:
             ".parquet')"),
         "minhash_lsh_pairs": _LSH_ORACLE,
         "lsh_pairs_megabucket": _LSH_MEGA_ORACLE,
+        "subword_tokens": _SUBWORD_ORACLE,
         "dup_components": _COMPONENTS_ORACLE,
         # same transitive-closure truth for the large-star/small-star
         # variant — both algorithms must land on identical components

@@ -405,3 +405,113 @@ def scrub_pii(docs: DataFrame, *, text_col: str = "text") -> DataFrame:
         F.regexp_count(t, F.lit(PII_PHONE_RX)).cast("long")
         .alias("n_phones"),
     )
+
+
+# ------------------------------------------------------- subword tokens
+
+def subword_vocab(docs: DataFrame, *, vocab_size: int = 256,
+                  min_len: int = 2, max_len: int = 6,
+                  text_col: str = "text") -> DataFrame:
+    """Corpus-derived subword vocabulary: the ``vocab_size`` most
+    frequent word-internal character n-grams (length min_len..max_len),
+    counted over word OCCURRENCES, ties broken by piece ascending so
+    the ranking is total and engine-portable (the DuckDB oracle
+    recomputes the identical list).
+
+    This is the deterministic stand-in for a BPE merge table: greedy
+    longest-match over frequent substrings tracks subword counts far
+    closer than whitespace on code/CJK-ish text (VERDICT r3 task #6),
+    without shipping a trained artifact.  At 10^12 docs you would
+    derive the vocab from a hash-sample of documents (the derivation
+    is one explode + count shuffle either way); the top-k runs as
+    TakeOrdered (per-partition partial top-k, no full sort).
+    Returns (piece, n) ordered by the ranking.
+    """
+    words = docs.select(
+        F.explode(F.filter(F.split(text_col, " "), lambda t: t != ""))
+        .alias("w"))
+
+    def pieces_of_len(l):
+        # factory, NOT a defaulted lambda: pyspark treats a 2-parameter
+        # lambda in transform() as (element, index)
+        return F.transform(
+            F.sequence(F.lit(1), F.length("w") - l + 1),
+            lambda i: F.substring(F.col("w"), i, l))
+
+    per_len = [
+        F.when(F.length("w") >= l, pieces_of_len(l))
+        .otherwise(F.array().cast("array<string>"))
+        for l in range(min_len, max_len + 1)
+    ]
+    # explicit empty-array fallback: F.sequence(1, n) flips to a
+    # DESCENDING sequence when n < 1, which would fabricate pieces
+    return (words
+            .select(F.explode(F.flatten(F.array(*per_len)))
+                    .alias("piece"))
+            .groupBy("piece").agg(F.count("*").alias("n"))
+            .orderBy(F.col("n").desc(), "piece")
+            .limit(vocab_size))
+
+
+def subword_token_count(docs: DataFrame, vocab: list[str], *,
+                        min_len: int = 2, max_len: int = 6,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, n_subword_tokens): greedy longest-match tokenization
+    against a fixed subword vocabulary, entirely in whole-stage codegen
+    (nested higher-order functions — zero Python workers, zero shuffle:
+    the count is a narrow per-row expression).
+
+    Per word, a cursor walks left to right; at each position the
+    longest vocab piece (max_len first, down to min_len) consumes its
+    length, else one character consumes as an implicit single-char
+    token — exactly the greedy-longest-match decode of a BPE-style
+    vocab.  The walk is an ``aggregate`` over character indices with
+    (pos, cnt) struct state, skipping indices the last match already
+    consumed.  End-of-word probes need no length guard: ``substring``
+    past the end returns the shorter remainder on both Spark and
+    DuckDB, and matching the remainder advances the cursor past the
+    end with the same +1 token either way.
+
+    The vocab ships as per-length literal arrays (index-sized — a few
+    hundred strings — the same class of broadcast as the media
+    manifest); probes are linear scans of the one length class.  At a
+    much larger vocab, swap the arrays for a bloom-filtered hash map
+    side input.  Use the result as ``tokens_col`` for
+    ``curation.pack_shards`` / ``chunk_documents`` so shard and
+    context-window budgets track subword (not whitespace) counts.
+    """
+    by_len: dict[int, list[str]] = {}
+    for p in vocab:
+        by_len.setdefault(len(p), []).append(p)
+    lit = {
+        ln: F.array(*[F.lit(p) for p in sorted(ps)])
+        for ln, ps in by_len.items()
+    }
+
+    def step(w, acc):
+        out = None
+        for ln in range(max_len, min_len - 1, -1):
+            if ln not in lit:
+                continue
+            hit = F.array_contains(lit[ln], F.substring(w, acc["pos"], ln))
+            nxt = F.struct((acc["pos"] + ln).alias("pos"),
+                           (acc["cnt"] + 1).alias("cnt"))
+            out = F.when(hit, nxt) if out is None else out.when(hit, nxt)
+        fallback = F.struct((acc["pos"] + 1).alias("pos"),
+                            (acc["cnt"] + 1).alias("cnt"))
+        return fallback if out is None else out.otherwise(fallback)
+
+    def word_count(w):
+        return F.aggregate(
+            F.sequence(F.lit(1), F.length(w)),
+            F.struct(F.lit(1).alias("pos"), F.lit(0).alias("cnt")),
+            lambda acc, i: F.when(i != acc["pos"], acc)
+                            .otherwise(step(w, acc)),
+            lambda acc: acc["cnt"])
+
+    words = F.filter(F.split(text_col, " "), lambda t: t != "")
+    return docs.select(
+        id_col,
+        F.aggregate(words, F.lit(0), lambda a, w: a + word_count(w))
+        .cast("long").alias("n_subword_tokens"))

@@ -1,0 +1,162 @@
+"""Subword-aware token counting (VERDICT r3 task #6).
+
+Trainer budgets count BPE-style subword tokens; whitespace counting
+under-counts code/CJK-ish text by large factors.  The engine's greedy
+longest-match over a corpus-derived n-gram vocab runs entirely in
+whole-stage codegen; these tests pin it against an independent python
+reference and show pack_shards budgets tracking subword (not
+whitespace) counts on a mixed prose/code fixture.
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import pytest
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from html_qt_spark.plans.session import get_spark
+
+    s = get_spark(cpus=4, shuffle_partitions=8)
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+
+
+def _ref_count(text: str, vocab: set[str], mx: int, mn: int) -> int:
+    """Independent greedy longest-match reference (plain python)."""
+    tot = 0
+    for w in [x for x in text.split(" ") if x]:
+        pos = 0
+        while pos < len(w):
+            for ln in range(mx, mn - 1, -1):
+                sub = w[pos:pos + ln]
+                if len(sub) == ln and sub in vocab:
+                    pos += ln
+                    tot += 1
+                    break
+            else:
+                pos += 1
+                tot += 1
+    return tot
+
+
+MIXED = [
+    (1, "international internationalization nation nations"),
+    (2, "def tokenize(s): return s.split() # snake_case_identifiers"),
+    (3, ""),
+    (4, "the the the the cat"),
+    (5, "supercalifragilisticexpialidocious"),
+]
+
+
+def test_vocab_is_bounded_and_deterministic(spark):
+    from html_qt_spark.operators.textstats import subword_vocab
+
+    docs = spark.createDataFrame(MIXED, ["doc_id", "text"])
+    v1 = [(r.piece, r.n) for r in
+          subword_vocab(docs, vocab_size=24, min_len=2,
+                        max_len=4).collect()]
+    assert len(v1) == 24
+    assert all(2 <= len(p) <= 4 for p, _ in v1), v1
+    # total ordering (count desc, piece asc) -> repeatable run to run
+    v2 = [(r.piece, r.n) for r in
+          subword_vocab(docs, vocab_size=24, min_len=2,
+                        max_len=4).collect()]
+    assert v1 == v2
+    counts = [n for _, n in v1]
+    assert counts == sorted(counts, reverse=True)
+
+
+def test_counts_match_reference_greedy(spark):
+    from html_qt_spark.operators.textstats import (
+        subword_token_count,
+        subword_vocab,
+    )
+
+    docs = spark.createDataFrame(MIXED, ["doc_id", "text"])
+    vocab = [r.piece for r in
+             subword_vocab(docs, vocab_size=32, min_len=2,
+                           max_len=4).collect()]
+    got = {r.doc_id: r.n_subword_tokens
+           for r in subword_token_count(docs, vocab, min_len=2,
+                                        max_len=4).collect()}
+    vs = set(vocab)
+    for i, t in MIXED:
+        assert got[i] == _ref_count(t, vs, 4, 2), (i, t)
+    assert got[3] == 0  # empty doc counts zero, still emits a row
+
+
+def test_counter_is_narrow_no_shuffle(spark):
+    """The count is a per-row expression: no Exchange, no Python
+    workers (BatchEvalPython/ArrowEvalPython) in the plan."""
+    from html_qt_spark.operators.textstats import subword_token_count
+
+    docs = spark.createDataFrame(MIXED, ["doc_id", "text"])
+    plan = subword_token_count(docs, ["th", "ion"], min_len=2,
+                               max_len=4)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_pack_shards_budgets_track_subwords(spark):
+    """Shard budgets computed from subword counts differ from the
+    whitespace packing exactly where code-ish text explodes into many
+    subwords — and every shard's subword total respects the budget
+    accounting (prefix-sum invariant)."""
+    from pyspark.sql import functions as F
+
+    from html_qt_spark.operators.curation import pack_shards
+    from html_qt_spark.operators.textstats import (
+        subword_token_count,
+        subword_vocab,
+        token_count,
+    )
+
+    # prose docs: few long words; code docs: dense identifiers that
+    # split into many subword tokens per whitespace token
+    rows = []
+    for i in range(8):
+        rows.append((i, "the quick brown fox jumps over the lazy dog"))
+    for i in range(8, 16):
+        rows.append((i,
+                     "def very_long_function_name_number_%d(arg_one,"
+                     " arg_two): return compute_all_the_things(arg_one)"
+                     % i))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    vocab = [r.piece for r in
+             subword_vocab(docs, vocab_size=48, min_len=2,
+                           max_len=4).collect()]
+    sub = subword_token_count(docs, vocab, min_len=2, max_len=4)
+    ws = token_count(docs).select("doc_id",
+                                  F.col("n_tokens").alias("n_ws"))
+    both = docs.join(sub, "doc_id").join(ws, "doc_id")
+
+    r = {x.doc_id: (x.n_ws, x.n_subword_tokens) for x in both.collect()}
+    # code docs inflate: subword count >> whitespace count
+    for i in range(8, 16):
+        assert r[i][1] >= 3 * r[i][0], r[i]
+
+    budget = 60
+    packed_sub = pack_shards(both, token_budget=budget,
+                             tokens_col="n_subword_tokens")
+    packed_ws = pack_shards(both, token_budget=budget,
+                            tokens_col="n_ws")
+    n_sub = packed_sub.agg(F.max("shard_id")).first()[0] + 1
+    n_ws = packed_ws.agg(F.max("shard_id")).first()[0] + 1
+    # same budget, subword accounting needs strictly more shards
+    assert n_sub > n_ws, (n_sub, n_ws)
+
+    # prefix-sum invariant: each shard's subword total stays under
+    # budget + one doc's worth (a doc larger than the budget gets its
+    # own shard and is never split here)
+    shard_tot = {row.shard_id: row.tot for row in
+                 packed_sub.groupBy("shard_id")
+                 .agg(F.sum("n_subword_tokens").alias("tot")).collect()}
+    max_doc = max(v[1] for v in r.values())
+    assert all(t <= budget + max_doc for t in shard_tot.values())
