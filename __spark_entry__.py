@@ -562,6 +562,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return textstats.subword_token_count(docs, vocab,
                                              min_len=2, max_len=4)
 
+    def q_chunk_subword(spark, sf):
+        # context-window splitting budgeted by subword cost (r4):
+        # word-boundary chunks filled to ~64 subword tokens
+        from html_qt_spark.operators.curation import (
+            chunk_documents_subword,
+        )
+        docs = _docs(spark, sf)
+        vocab = [r.piece for r in textstats.subword_vocab(
+            docs, vocab_size=64, min_len=2, max_len=4).collect()]
+        return chunk_documents_subword(docs, chunk_tokens=64,
+                                       vocab=vocab, min_len=2,
+                                       max_len=4)
+
     # Registration ORDER is part of the driver contract: the driver's
     # correctness artifact caps at the FIRST 50 entries.  Round-4 order
     # (VERDICT r3 task #1): the 13 queries that fell past the cap in r3
@@ -588,6 +601,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_docs": q_chunk_docs,
         # -- new in round 4 --------------------------------------------
         "subword_tokens": q_subword_tokens,
+        "chunk_subword": q_chunk_subword,
         # -- extraction flagship + r3-first-green ----------------------
         "extract_doc": q_extract_doc,
         "extract_exploded": q_extract_exploded,
@@ -731,6 +745,42 @@ _SUBWORD_ORACLE = (
     "agg AS (SELECT doc_id, sum(c) AS n FROM wc GROUP BY doc_id) "
     "SELECT d.doc_id, CAST(coalesce(a.n, 0) AS BIGINT) "
     "AS n_subword_tokens FROM documents d LEFT JOIN agg a USING (doc_id)")
+
+# subword-budget chunking: same vocab + greedy-walk CTEs, then the
+# pack_shards prefix-sum fill rule at word granularity (exclusive
+# cumulative subwords // budget = chunk id), text rebuilt in pos order
+_CHUNK_SUBWORD_ORACLE = (
+    "WITH RECURSIVE "
+    "ts AS (SELECT doc_id, list_filter(string_split(text, ' '), "
+    "x -> x <> '') AS toks FROM documents), "
+    "wordsall AS (SELECT doc_id, unnest(toks) AS w FROM ts), "
+    "wlen AS (SELECT w, unnest(range(2, 5)) AS l FROM wordsall), "
+    "wpos AS (SELECT w, l, unnest(range(1, length(w) - l + 2)) AS i "
+    "FROM wlen), "
+    "pieces AS (SELECT substr(w, CAST(i AS INT), CAST(l AS INT)) "
+    "AS piece FROM wpos), "
+    "vocab AS (SELECT piece, count(*) AS n FROM pieces GROUP BY piece "
+    "ORDER BY n DESC, piece LIMIT 64), "
+    "vlist AS (SELECT list(piece) AS v FROM vocab), "
+    "wi AS (SELECT doc_id, unnest(toks) AS w, "
+    "unnest(range(0, len(toks))) AS pos FROM ts), "
+    "step(doc_id, pos, w, p, cnt) AS ("
+    "SELECT doc_id, pos, w, 1, 0 FROM wi "
+    "UNION ALL SELECT doc_id, pos, w, "
+    f"p + CASE {_subword_probe(4).replace('pos', 'p')} "
+    f"{_subword_probe(3).replace('pos', 'p')} "
+    f"{_subword_probe(2).replace('pos', 'p')} ELSE 1 END, cnt + 1 "
+    "FROM step WHERE p <= length(w)), "
+    "wc AS (SELECT doc_id, pos, any_value(w) AS w, max(cnt) AS wtok "
+    "FROM step GROUP BY doc_id, pos), "
+    "cum AS (SELECT doc_id, pos, w, wtok, "
+    "coalesce(sum(wtok) OVER (PARTITION BY doc_id ORDER BY pos "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb "
+    "FROM wc) "
+    "SELECT doc_id, CAST(cumb // 64 AS INT) AS chunk_idx, "
+    "string_agg(w, ' ' ORDER BY pos) AS chunk_text, "
+    "CAST(sum(wtok) AS BIGINT) AS n_subword_tokens "
+    "FROM cum GROUP BY doc_id, CAST(cumb // 64 AS INT)")
 
 # connected components over the LSH candidate pairs: exact transitive
 # closure via a recursive CTE (fine at oracle scale), min reachable
@@ -1127,6 +1177,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_pairs": _LSH_ORACLE,
         "lsh_pairs_megabucket": _LSH_MEGA_ORACLE,
         "subword_tokens": _SUBWORD_ORACLE,
+        "chunk_subword": _CHUNK_SUBWORD_ORACLE,
         "dup_components": _COMPONENTS_ORACLE,
         # same transitive-closure truth for the large-star/small-star
         # variant — both algorithms must land on identical components

@@ -237,3 +237,50 @@ def chunk_documents(docs: DataFrame, *, chunk_tokens: int = 512,
             .select(id_col, F.col("chunk_idx").cast("int"),
                     F.col("c.chunk_text").alias("chunk_text"),
                     F.col("c.n_tokens").alias("n_tokens")))
+
+
+def chunk_documents_subword(docs: DataFrame, *, chunk_tokens: int,
+                            vocab: list[str], min_len: int = 2,
+                            max_len: int = 6, text_col: str = "text",
+                            id_col: str = "doc_id") -> DataFrame:
+    """Context-window splitting budgeted by SUBWORD cost (the round-4
+    complement to :func:`chunk_documents`, which budgets whitespace
+    tokens): each word is weighted by its greedy longest-match subword
+    count (``textstats.subword_word_counter`` — pure codegen), and a
+    word joins chunk ``floor(exclusive-prefix-subwords / chunk_tokens)``
+    — the same prefix-sum fill rule as :func:`pack_shards`, at word
+    granularity, so chunks never split a word and fill ~chunk_tokens
+    subwords (one oversized word still gets placed, never dropped).
+
+    Plan: posexplode words (narrow) → per-doc ordered window prefix sum
+    (ONE hash shuffle on the doc key — the same key the extraction
+    pipeline already partitions by) → groupBy (doc, chunk) rebuilding
+    text with an array_sort over (pos, word) structs, which shares the
+    window's partitioning so the agg adds no further Exchange at
+    runtime.  Returns (id_col, chunk_idx, chunk_text, n_subword_tokens).
+    """
+    from html_qt_spark.operators.textstats import subword_word_counter
+
+    counter = subword_word_counter(vocab, min_len=min_len,
+                                   max_len=max_len)
+    words = docs.select(
+        id_col,
+        F.posexplode(F.filter(F.split(text_col, " "),
+                              lambda t: t != "")).alias("pos", "w"))
+    weighted = words.withColumn("wtok", counter(F.col("w")))
+    win = (Window.partitionBy(id_col).orderBy("pos")
+           .rowsBetween(Window.unboundedPreceding, -1))
+    chunked = weighted.withColumn(
+        "chunk_idx",
+        (F.coalesce(F.sum("wtok").over(win), F.lit(0))
+         / F.lit(chunk_tokens)).cast("long"))
+    return (chunked
+            .groupBy(id_col, "chunk_idx")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "w")))
+                 .alias("pw"),
+                 F.sum("wtok").cast("long").alias("n_subword_tokens"))
+            .select(id_col, F.col("chunk_idx").cast("int"),
+                    F.concat_ws(
+                        " ", F.transform("pw", lambda s: s["w"]))
+                    .alias("chunk_text"),
+                    "n_subword_tokens"))

@@ -481,6 +481,21 @@ def subword_token_count(docs: DataFrame, vocab: list[str], *,
     ``curation.pack_shards`` / ``chunk_documents`` so shard and
     context-window budgets track subword (not whitespace) counts.
     """
+    word_count = subword_word_counter(vocab, min_len=min_len,
+                                      max_len=max_len)
+    words = F.filter(F.split(text_col, " "), lambda t: t != "")
+    return docs.select(
+        id_col,
+        F.aggregate(words, F.lit(0), lambda a, w: a + word_count(w))
+        .cast("long").alias("n_subword_tokens"))
+
+
+def subword_word_counter(vocab: list[str], *, min_len: int = 2,
+                         max_len: int = 6):
+    """Build the per-WORD greedy longest-match count expression: a
+    callable word-column -> int column, reusable by any operator that
+    needs subword weights (doc counting, subword-budget chunking).
+    See :func:`subword_token_count` for the walk semantics."""
     by_len: dict[int, list[str]] = {}
     for p in vocab:
         by_len.setdefault(len(p), []).append(p)
@@ -510,8 +525,4 @@ def subword_token_count(docs: DataFrame, vocab: list[str], *,
                             .otherwise(step(w, acc)),
             lambda acc: acc["cnt"])
 
-    words = F.filter(F.split(text_col, " "), lambda t: t != "")
-    return docs.select(
-        id_col,
-        F.aggregate(words, F.lit(0), lambda a, w: a + word_count(w))
-        .cast("long").alias("n_subword_tokens"))
+    return word_count

@@ -55,6 +55,7 @@ def run_curation_job(
     max_per_source: int | None = None,
     token_budget: int = 2048,
     pack_buckets: int = 16,
+    subword_vocab_size: int | None = None,
     collect_stats: bool = True,
 ) -> dict:
     """docs(doc_id, text, lang, source) -> packed shards under out_dir.
@@ -127,6 +128,29 @@ def run_curation_job(
         cur = _count("capped", cap_per_group(
             cur, group_col="source", max_per_group=max_per_source))
 
+    # 9a. budget accounting: whitespace tokens by default; with
+    #     ``subword_vocab_size`` set, a corpus-derived greedy
+    #     longest-match subword count (VERDICT r3 task #6) — trainer
+    #     budgets are subword budgets, and whitespace under-counts
+    #     code/CJK by large factors.  The vocab derives from the
+    #     POST-dedup corpus (pre-dedup frequencies are duplicate-
+    #     skewed) and collects only vocab_size strings to the driver.
+    if subword_vocab_size:
+        from html_qt_spark.operators.textstats import (
+            subword_token_count,
+            subword_vocab,
+        )
+
+        vocab = [r.piece for r in subword_vocab(
+            cur, vocab_size=subword_vocab_size, min_len=2,
+            max_len=4).collect()]
+        counts = subword_token_count(
+            cur, vocab, min_len=2, max_len=4).select(
+            "doc_id",
+            F.col("n_subword_tokens").alias("n_tokens"))
+    else:
+        counts = token_count(cur)
+
     # 9. pack into ~token_budget shards and write, laid out by
     #    (lang, pack bucket, shard_id) for sequential trainer reads.
     #    Packing per (lang, hash-bucket) rather than per lang alone:
@@ -136,7 +160,7 @@ def run_curation_job(
     #    identity is namespaced by the full partition tuple, so shards
     #    stay budget-bounded either way).
     packed = pack_shards(
-        (token_count(cur).join(cur, "doc_id")
+        (counts.join(cur, "doc_id")
          .withColumn("pack_bucket",
                      F.pmod(F.xxhash64(F.col("doc_id").cast("string")),
                             F.lit(pack_buckets)))),

@@ -34,6 +34,10 @@ def main() -> None:
     ap.add_argument("--max-per-source", type=int, default=None)
     ap.add_argument("--para-max-doc-freq", type=int, default=None)
     ap.add_argument("--token-budget", type=int, default=2048)
+    ap.add_argument("--subword-vocab-size", type=int, default=None,
+                    help="budget shards by greedy subword counts over a "
+                    "corpus-derived vocab of this size (default: "
+                    "whitespace tokens)")
     args = ap.parse_args()
 
     from html_qt_spark.plans.curation_pipeline import run_curation_job
@@ -55,7 +59,8 @@ def main() -> None:
         min_words=args.min_words, alpha=args.alpha,
         max_per_source=args.max_per_source,
         para_max_doc_freq=args.para_max_doc_freq,
-        token_budget=args.token_budget)
+        token_budget=args.token_budget,
+        subword_vocab_size=args.subword_vocab_size)
     print(json.dumps(stats))
 
 

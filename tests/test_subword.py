@@ -160,3 +160,78 @@ def test_pack_shards_budgets_track_subwords(spark):
                  .agg(F.sum("n_subword_tokens").alias("tot")).collect()}
     max_doc = max(v[1] for v in r.values())
     assert all(t <= budget + max_doc for t in shard_tot.values())
+
+
+def test_chunk_subword_reconstruction_and_budget(spark):
+    """Word-boundary subword-budget chunking: concatenating a doc's
+    chunks in order reproduces its exact word sequence (no split, no
+    loss, no overlap), chunk_idx follows the prefix-sum fill rule, and
+    every chunk except possibly the last of a doc reaches the budget
+    neighborhood."""
+    from pyspark.sql import functions as F
+
+    from html_qt_spark.operators.curation import chunk_documents_subword
+    from html_qt_spark.operators.textstats import (
+        subword_vocab,
+        subword_word_counter,
+    )
+
+    rows = [
+        (1, ("the quick brown fox jumps over the lazy dog " * 6).strip()),
+        (2, "def compute_everything(argument_one, argument_two): "
+            "return argument_one + argument_two"),
+        (3, "tiny"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    vocab = [r.piece for r in
+             subword_vocab(docs, vocab_size=32, min_len=2,
+                           max_len=4).collect()]
+    budget = 20
+    out = chunk_documents_subword(docs, chunk_tokens=budget, vocab=vocab,
+                                  min_len=2, max_len=4).collect()
+
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for i, text in rows:
+        chunks = sorted(by_doc[i], key=lambda r: r.chunk_idx)
+        rebuilt = " ".join(c.chunk_text for c in chunks)
+        assert rebuilt == text, (i, rebuilt)
+        # chunk ids are the prefix-sum rule: recompute in python with
+        # per-word counts taken from the ENGINE itself (1-word docs)
+        words = [w for w in text.split(" ") if w]
+        wdf = spark.createDataFrame([(j, w) for j, w in enumerate(words)],
+                                    ["j", "w"])
+        counter = subword_word_counter(vocab, min_len=2, max_len=4)
+        wtoks = {r.j: r.c for r in
+                 wdf.select("j", counter(F.col("w")).alias("c")).collect()}
+        cum = 0
+        expect_idx = []
+        for j in range(len(words)):
+            expect_idx.append(cum // budget)
+            cum += wtoks[j]
+        # group python words by expected chunk and compare texts
+        exp_chunks: dict[int, list[str]] = {}
+        for j, w in enumerate(words):
+            exp_chunks.setdefault(expect_idx[j], []).append(w)
+        got_chunks = {c.chunk_idx: c.chunk_text.split(" ") for c in chunks}
+        assert got_chunks == exp_chunks, (i, got_chunks, exp_chunks)
+        # totals: sum of chunk subword counts == doc total
+        assert sum(c.n_subword_tokens for c in chunks) == cum
+
+
+def test_chunk_subword_single_shuffle_plan(spark):
+    """One hash Exchange on the doc key: the window and the rebuild agg
+    share the same partitioning (plus the join-free narrow posexplode
+    upstream)."""
+    from html_qt_spark.operators.curation import chunk_documents_subword
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "epsilon zeta")],
+        ["doc_id", "text"])
+    plan = chunk_documents_subword(
+        docs, chunk_tokens=8,
+        vocab=["al", "ph", "ta"])._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
+    assert "EvalPython" not in plan, plan

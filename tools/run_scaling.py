@@ -72,7 +72,9 @@ def probe(sf_dir: str, replication: int, configs: list[int],
     _save_history(hist)
     best: dict[str, float] = {}
     for run in hist["runs"]:
-        if run["sf"] == sf_dir and run["replication"] == replication:
+        if (run.get("sf") == sf_dir
+                and run.get("replication") == replication
+                and "tput" in run):
             for k, v in run["tput"].items():
                 best[k] = max(best.get(k, 0.0), v)
     print(json.dumps({"probe": this_run, "best": best}))
@@ -107,7 +109,9 @@ def main() -> None:
     _save_history(hist)
     best: dict[str, float] = {}
     for run in hist["runs"]:
-        if run["sf"] == sf_dir and run["replication"] == replication:
+        if (run.get("sf") == sf_dir
+                and run.get("replication") == replication
+                and "tput" in run):
             for k, v in run["tput"].items():
                 best[k] = max(best.get(k, 0.0), v)
     tput = {int(k): v for k, v in best.items()}
