@@ -67,3 +67,36 @@ def test_curation_job_stats_off_still_writes(spark, tmp_path_factory):
                              collect_stats=False)
     assert stats == {}
     assert spark.read.parquet(f"{out}/shards").count() > 0
+
+
+def test_curation_job_subword_budgets(spark, tmp_path_factory):
+    """With subword_vocab_size set, shard packing runs on greedy
+    subword counts: n_tokens in the written shards equals the engine's
+    subword counter over the same text (not the whitespace count), and
+    per-shard budgets hold under subword accounting."""
+    from pyspark.sql import functions as F
+
+    from html_qt_spark.operators.textstats import (
+        subword_token_count,
+        token_count,
+    )
+    from html_qt_spark.plans.curation_pipeline import run_curation_job
+
+    out = str(tmp_path_factory.mktemp("curate_sub"))
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    stats = run_curation_job(spark, docs, out, min_words=3,
+                             token_budget=256, subword_vocab_size=32)
+    assert stats["written"] > 0
+    shards = spark.read.parquet(f"{out}/shards")
+
+    # n_tokens is the subword count, and differs from whitespace
+    ws = token_count(shards.select("doc_id", "text")) \
+        .select("doc_id", F.col("n_tokens").alias("n_ws"))
+    joined = shards.join(ws, "doc_id")
+    assert joined.where(F.col("n_tokens") <= F.col("n_ws")).count() == 0
+
+    # budget invariant per (lang, bucket, shard)
+    tot = (shards.groupBy("lang", "pack_bucket", "shard_id")
+           .agg(F.sum("n_tokens").alias("t"),
+                F.max("n_tokens").alias("m")))
+    assert tot.where(F.col("t") > 256 + F.col("m")).count() == 0
