@@ -562,6 +562,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return textstats.subword_token_count(docs, vocab,
                                              min_len=2, max_len=4)
 
+    def q_media_captions(spark, sf):
+        # nearest text context per media span (caption pairing, r4)
+        return multimodal.media_captions(interleaved_exploded(spark, sf))
+
+    def q_ivf_topk_batch(spark, sf):
+        # batch probed-list ANN (r4): shared assignment table, per-query
+        # WindowGroupLimit probes + ranks; md5_32 for the DuckDB oracle
+        return (similarity.ivf_topk_batch(
+            _emb(spark, sf), [0, 7, 42], k=10, n_centroids=8,
+            n_probe=2, hash_fn="md5_32")
+            .select("q_id", "vec_id",
+                    F.col("rank").cast("long").alias("rank")))
+
     def q_chunk_subword(spark, sf):
         # context-window splitting budgeted by subword cost (r4):
         # word-boundary chunks filled to ~64 subword tokens
@@ -602,6 +615,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new in round 4 --------------------------------------------
         "subword_tokens": q_subword_tokens,
         "chunk_subword": q_chunk_subword,
+        "media_captions": q_media_captions,
+        "ivf_topk_batch": q_ivf_topk_batch,
         # -- extraction flagship + r3-first-green ----------------------
         "extract_doc": q_extract_doc,
         "extract_exploded": q_extract_exploded,
@@ -911,6 +926,38 @@ _IVF_ORACLE = (
     "SELECT vec_id, CAST(row_number() OVER (ORDER BY cos DESC, vec_id) "
     "AS BIGINT) AS rank FROM s ORDER BY cos DESC, vec_id LIMIT 10")
 
+# batch IVF: the single-query oracle's CTEs with q/probe/rank made
+# per-q_id (row_number partitions) — same hash-seeded centroids
+_IVF_BATCH_ORACLE = (
+    "WITH pri AS (SELECT vec_id, embedding, "
+    "('0x' || substr(md5('ivf:' || CAST(vec_id AS STRING)), 1, 8))"
+    "::BIGINT AS p FROM embeddings), "
+    "cents AS (SELECT vec_id AS centroid_id, embedding AS c_emb "
+    "FROM pri ORDER BY p, vec_id LIMIT 8), "
+    "sims AS (SELECT e.vec_id, c.centroid_id, "
+    "list_cosine_similarity(e.embedding::DOUBLE[], c.c_emb::DOUBLE[]) "
+    "AS sim FROM embeddings e, cents c), "
+    "assign AS (SELECT vec_id, centroid_id AS list_id FROM "
+    "(SELECT vec_id, centroid_id, row_number() OVER (PARTITION BY vec_id "
+    "ORDER BY sim DESC, centroid_id DESC) AS rn FROM sims) WHERE rn = 1), "
+    "q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings "
+    "WHERE vec_id IN (0, 7, 42)), "
+    "probe AS (SELECT q_id, centroid_id AS list_id FROM "
+    "(SELECT q.q_id, c.centroid_id, row_number() OVER "
+    "(PARTITION BY q.q_id ORDER BY "
+    "list_cosine_similarity(c.c_emb::DOUBLE[], q.q_emb::DOUBLE[]) DESC, "
+    "c.centroid_id) AS rn FROM cents c, q) WHERE rn <= 2), "
+    "cand AS (SELECT DISTINCT p.q_id, a.vec_id FROM assign a "
+    "JOIN probe p USING (list_id)), "
+    "s AS (SELECT c.q_id, e.vec_id, "
+    "round(list_cosine_similarity(e.embedding::DOUBLE[], "
+    "q.q_emb::DOUBLE[]), 6) AS cos "
+    "FROM embeddings e JOIN cand c USING (vec_id) "
+    "JOIN q ON q.q_id = c.q_id WHERE e.vec_id <> c.q_id) "
+    "SELECT q_id, vec_id, rank FROM (SELECT q_id, vec_id, "
+    "CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, "
+    "vec_id) AS BIGINT) AS rank FROM s) WHERE rank <= 10")
+
 _SIMHASH_BITSUMS = ", ".join(
     f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
     for i in range(32))
@@ -1178,6 +1225,20 @@ def oracle_sql() -> dict[str, str]:
         "lsh_pairs_megabucket": _LSH_MEGA_ORACLE,
         "subword_tokens": _SUBWORD_ORACLE,
         "chunk_subword": _CHUNK_SUBWORD_ORACLE,
+        "media_captions": oracle_cte(
+            'SELECT doc_id, "offset", media_ref, caption_before, '
+            "caption_after FROM ("
+            'SELECT doc_id, "offset", kind, media_ref, '
+            "last_value(CASE WHEN kind = 'text' THEN text END "
+            "IGNORE NULLS) OVER (PARTITION BY doc_id ORDER BY "
+            '"offset" ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) '
+            "AS caption_before, "
+            "first_value(CASE WHEN kind = 'text' THEN text END "
+            "IGNORE NULLS) OVER (PARTITION BY doc_id ORDER BY "
+            '"offset" ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) '
+            "AS caption_after "
+            "FROM interleaved_spans) WHERE kind = 'media'"),
+        "ivf_topk_batch": _IVF_BATCH_ORACLE,
         "dup_components": _COMPONENTS_ORACLE,
         # same transitive-closure truth for the large-star/small-star
         # variant — both algorithms must land on identical components

@@ -116,3 +116,33 @@ def resize_plan(decoded: DataFrame, *, target: int = 224) -> DataFrame:
         .otherwise(F.floor(F.col("height") * target / F.col("width")))
         .cast("int").alias("out_h"),
     )
+
+
+def media_captions(spans: DataFrame) -> DataFrame:
+    """Attach the nearest text context to every media span: the last
+    text span BEFORE it and the first text span AFTER it in document
+    order — the caption-pairing step an interleaved image-text training
+    pipeline runs right after extraction (nearest-neighbor caption
+    heuristic; alt text already rides on the media span itself).
+
+    Input: exploded spans (doc_id, offset, kind, text, media_ref).
+    Plan: both window frames share ONE (doc_id, offset) sort — a single
+    doc-keyed exchange, no join; last/first with ignorenulls skip over
+    intervening media spans.  Returns (doc_id, offset, media_ref,
+    caption_before, caption_after) for media rows only.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy("doc_id").orderBy("offset")
+    txt = F.when(F.col("kind") == "text", F.col("text"))
+    before = F.last(txt, ignorenulls=True).over(
+        w.rowsBetween(Window.unboundedPreceding, -1))
+    after = F.first(txt, ignorenulls=True).over(
+        w.rowsBetween(1, Window.unboundedFollowing))
+    return (spans
+            .select("doc_id", "offset", "kind", "media_ref",
+                    before.alias("caption_before"),
+                    after.alias("caption_after"))
+            .where(F.col("kind") == "media")
+            .drop("kind"))

@@ -367,6 +367,64 @@ def ivf_topk(embeddings: DataFrame, query_vec_id: int = 0, k: int = 10,
     return cosine_topk_scores(cand_emb, query_vec_id, k)
 
 
+def ivf_topk_batch(embeddings: DataFrame, query_ids: list[int],
+                   k: int = 10, *, n_centroids: int = 8,
+                   n_probe: int = 2, salt: str = "ivf",
+                   hash_fn: str = "xxhash64",
+                   centroids: DataFrame | None = None,
+                   trained: bool = False, n_iter: int = 1) -> DataFrame:
+    """IVF ANN for a SET of query vectors in one plan — the probed-list
+    counterpart of :func:`cosine_topk_batch` (production retrieval
+    queries thousands of vectors per pass, and sharing the assignment
+    table across the whole batch amortizes the one corpus shuffle).
+
+    Per query the ``n_probe`` nearest lists are chosen with a
+    per-q_id row_number (compiles to WindowGroupLimit partial top-k
+    over the |Q|×k_centroids score table — index-sized).  Broadcasts:
+    centroids (k rows), probe table (|Q|·n_probe rows), query vectors
+    (|Q| rows) — all index-sized; candidates (~|Q|·n/k·n_probe rows)
+    join the corpus on vec_id WITHOUT a forced broadcast.  The final
+    rank filter is again WindowGroupLimit, so the q_id shuffle moves
+    partial top-k rows only.  Returns (q_id, vec_id, rank).
+    """
+    from pyspark.sql import Window
+
+    if centroids is not None:
+        cents = centroids
+    elif trained:
+        cents = kmeans_centroids(embeddings, n_centroids=n_centroids,
+                                 n_iter=n_iter, salt=salt,
+                                 hash_fn=hash_fn)
+    else:
+        cents = ivf_centroids(embeddings, n_centroids=n_centroids,
+                              salt=salt, hash_fn=hash_fn)
+    assign = ivf_assign(embeddings, cents)
+    q = (embeddings.where(F.col("vec_id").isin(query_ids))
+         .select(F.col("vec_id").alias("q_id"),
+                 F.col("embedding").alias("q_emb")))
+    wp = Window.partitionBy("q_id").orderBy(F.col("sim").desc(),
+                                            "centroid_id")
+    probes = (q.crossJoin(F.broadcast(cents))
+              .select("q_id", "centroid_id",
+                      _cos_d(F.col("q_emb"), F.col("c_emb")).alias("sim"))
+              .withColumn("_rn", F.row_number().over(wp))
+              .where(F.col("_rn") <= n_probe)
+              .select("q_id", F.col("centroid_id").alias("list_id")))
+    cand = assign.join(F.broadcast(probes), "list_id") \
+                 .select("q_id", "vec_id")
+    scored = (cand.join(embeddings, "vec_id")
+              .join(F.broadcast(q), "q_id")
+              .where(F.col("vec_id") != F.col("q_id"))
+              .select("q_id", "vec_id",
+                      F.round(_cos_d(F.col("embedding"),
+                                     F.col("q_emb")), 6).alias("cos")))
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(),
+                                           F.col("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("q_id", "vec_id", "rank"))
+
+
 def ann_lsh_topk(embeddings: DataFrame, query_vec_id: int = 0,
                  k: int = 10, *, n_planes: int | None = 6,
                  dim: int = 64, probe_bits: int = 1,

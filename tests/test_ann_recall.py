@@ -313,3 +313,50 @@ def test_kmeans_trained_centroids_raise_recall(spark):
     r_train = mean_recall(trained)
     assert r_train > r_seed, (r_seed, r_train)
     assert r_train >= 0.8, r_train
+
+
+def test_ivf_batch_matches_single_query(spark):
+    """Batch probed ANN returns exactly the single-query operator's
+    ranking for every query in the set, and both top-k filters compile
+    to WindowGroupLimit partial top-k."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from html_qt_spark.operators.similarity import (
+        ivf_topk,
+        ivf_topk_batch,
+    )
+
+    emb = _clustered_embeddings(spark, n_clusters=10, per_cluster=10)
+    batch = ivf_topk_batch(emb, [0, 33, 77], k=7, n_centroids=5,
+                           n_probe=2)
+    got: dict[int, list] = {}
+    for r in batch.collect():
+        got.setdefault(r.q_id, []).append((r.rank, r.vec_id))
+    for q in (0, 33, 77):
+        single = ivf_topk(emb, q, 7, n_centroids=5, n_probe=2)
+        w = Window.orderBy(F.col("cos").desc(), "vec_id")
+        exp = [(r.rank, r.vec_id) for r in
+               single.select("vec_id",
+                             F.row_number().over(w).alias("rank"))
+               .collect()]
+        assert sorted(got[q]) == sorted(exp), (q, got[q], exp)
+    plan = batch._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_ivf_batch_full_probe_equals_knn_join(spark):
+    """Probing every list degrades the batch to the exact k-NN join."""
+    from html_qt_spark.operators.similarity import (
+        cosine_topk_batch,
+        ivf_topk_batch,
+    )
+
+    emb = _clustered_embeddings(spark, n_clusters=8, per_cluster=8)
+    qs = [0, 17]
+    full = {(r.q_id, r.rank): r.vec_id
+            for r in ivf_topk_batch(emb, qs, k=6, n_centroids=4,
+                                    n_probe=4).collect()}
+    exact = {(r.q_id, r.rank): r.vec_id
+             for r in cosine_topk_batch(emb, qs, k=6).collect()}
+    assert full == exact

@@ -111,3 +111,37 @@ def test_span_without_cut_points_stays_whole(spark):
     split = chunk_split_exploded(df, threshold_bytes=100_000,
                                  target_chunk_bytes=50_000)
     assert split.count() == 1
+
+
+def test_media_captions_nearest_text_context(spark):
+    """Caption pairing: nearest preceding/following TEXT span per media
+    span, skipping intervening media (ignorenulls); document edges give
+    null; one doc-keyed exchange, no join."""
+    from html_qt_spark.operators.multimodal import media_captions
+
+    rows = [
+        # doc 1: media at start (no before), consecutive media share
+        # the same neighbors, media at end (no after)
+        (1, 0, "media", None, "img://a"),
+        (1, 1, "text", "first para", None),
+        (1, 2, "media", None, "img://b"),
+        (1, 3, "media", None, "img://c"),
+        (1, 4, "text", "second para", None),
+        (1, 5, "media", None, "img://d"),
+        # doc 2: no media at all -> contributes no rows
+        (2, 0, "text", "lonely", None),
+    ]
+    spans = spark.createDataFrame(
+        rows, ["doc_id", "offset", "kind", "text", "media_ref"])
+    got = {r.media_ref: (r.caption_before, r.caption_after)
+           for r in media_captions(spans).collect()}
+    assert got == {
+        "img://a": (None, "first para"),
+        "img://b": ("first para", "second para"),
+        "img://c": ("first para", "second para"),
+        "img://d": ("second para", None),
+    }
+    plan = media_captions(spans)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
+    assert "Join" not in plan, plan
