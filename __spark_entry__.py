@@ -283,6 +283,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_unigram_logprob(spark, sf):
         return textstats.unigram_logprob(_docs(spark, sf))
 
+    def q_bigram_logprob(spark, sf):
+        # corpus-trained bigram LM surprise (r4 — one order above the
+        # unigram stand-in for the CCNet perplexity gate)
+        return textstats.bigram_logprob(_docs(spark, sf))
+
     def q_decontaminate(spark, sf):
         # benchmark = every 50th doc (a synthesized "eval suite" that is
         # genuinely IN the corpus, the exact leakage scenario); the
@@ -639,6 +644,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct": q_kmv_distinct,
         "gopher_quality": q_gopher_quality,
         "unigram_logprob": q_unigram_logprob,
+        "bigram_logprob": q_bigram_logprob,
         "decontaminate": q_decontaminate,
         "cap_per_source": q_cap_per_source,
         "temperature_sample": q_temperature_sample,
@@ -796,6 +802,26 @@ _CHUNK_SUBWORD_ORACLE = (
     "string_agg(w, ' ' ORDER BY pos) AS chunk_text, "
     "CAST(sum(wtok) AS BIGINT) AS n_subword_tokens "
     "FROM cum GROUP BY doc_id, CAST(cumb // 64 AS INT)")
+
+# bigram LM: same count tables + add-one smoothing + the standard
+# drift-absorbing integerization (floor(round(.,6)*1000))
+_BIGRAM_ORACLE = (
+    "WITH ts AS (SELECT doc_id, list_filter(string_split(text, ' '), "
+    "x -> x <> '') AS toks FROM documents), "
+    "pos AS (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i "
+    "FROM ts), "
+    "bi AS (SELECT doc_id, toks[CAST(i AS INT)] AS w1, "
+    "toks[CAST(i AS INT) + 1] AS w2 FROM pos), "
+    "bc AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY w1, w2), "
+    "lc AS (SELECT w1, count(*) AS c1 FROM bi GROUP BY w1), "
+    "vs AS (SELECT count(DISTINCT tok) AS v FROM "
+    "(SELECT unnest(toks) AS tok FROM ts)), "
+    "j AS (SELECT bi.doc_id, "
+    "-ln((bc.c12 + 1.0) / (lc.c1 + 1.0 * vs.v)) AS nl "
+    "FROM bi JOIN bc USING (w1, w2) JOIN lc USING (w1), vs) "
+    "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, "
+    "CAST(floor(round(sum(nl) / count(*), 6) * 1000) AS BIGINT) "
+    "AS logprob_x1000 FROM j GROUP BY doc_id")
 
 # connected components over the LSH candidate pairs: exact transitive
 # closure via a recursive CTE (fine at oracle scale), min reachable
@@ -1224,6 +1250,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_pairs": _LSH_ORACLE,
         "lsh_pairs_megabucket": _LSH_MEGA_ORACLE,
         "subword_tokens": _SUBWORD_ORACLE,
+        "bigram_logprob": _BIGRAM_ORACLE,
         "chunk_subword": _CHUNK_SUBWORD_ORACLE,
         "media_captions": oracle_cte(
             'SELECT doc_id, "offset", media_ref, caption_before, '

@@ -243,6 +243,54 @@ def unigram_logprob(docs: DataFrame) -> DataFrame:
     )
 
 
+def bigram_logprob(docs: DataFrame, *, k_smooth: float = 1.0) -> DataFrame:
+    """Corpus-trained bigram LM score: avg -ln p(w2|w1) per document
+    with add-k smoothing — one order up from :func:`unigram_logprob`
+    and the closer stand-in for CCNet's KenLM perplexity gate (bigram
+    surprise separates templated/boilerplate word sequences from prose
+    even when their unigram mix matches).
+
+    p(w2|w1) = (c(w1,w2) + k) / (c_left(w1) + k·V), where c_left counts
+    w1 as a bigram left-hand side and V is the corpus vocab size.  Docs
+    with fewer than 2 tokens have no bigrams and are omitted.
+
+    Plan: per-doc bigrams are built WITHOUT a shuffle (arrays_zip of
+    the token array against its own 1-shifted slice, then one explode);
+    the count tables are Zipf-bounded (bigram types grow far
+    sub-corpus) and join on their own keys — AQE broadcasts when a side
+    fits, never forced; V and the smoothing constant ride a 1-row
+    broadcast.  logprob_x1000 = floor(round(.,6)*1000), the same
+    drift-absorbing integerization as the entropy/unigram oracles.
+    Returns (doc_id, n_bigrams, logprob_x1000).
+    """
+    toks_arr = F.filter(F.split("text", " "), lambda t: t != "")
+    n = F.size(toks_arr)
+    pairs = F.arrays_zip(
+        F.slice(toks_arr, 1, n - 1),
+        F.slice(toks_arr, 2, n - 1))
+    bi = (docs
+          .select("doc_id", F.explode(pairs).alias("p"))
+          .select("doc_id", F.col("p.0").alias("w1"),
+                  F.col("p.1").alias("w2")))
+    big_counts = bi.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    left_counts = bi.groupBy("w1").agg(F.count("*").alias("c1"))
+    toks = docs.select(F.explode(toks_arr).alias("tok"))
+    vsize = toks.agg(F.countDistinct("tok").alias("v"))
+    p = (F.col("c12") + F.lit(k_smooth)) / \
+        (F.col("c1") + F.lit(k_smooth) * F.col("v"))
+    return (bi.join(big_counts, ["w1", "w2"])
+            .join(left_counts, "w1")
+            .crossJoin(F.broadcast(vsize))
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_bigrams"),
+                 F.sum(-F.log(p)).alias("lp"))
+            .select("doc_id",
+                    F.col("n_bigrams").cast("long").alias("n_bigrams"),
+                    F.floor(F.round(F.col("lp") / F.col("n_bigrams"), 6)
+                            * 1000).cast("long")
+                    .alias("logprob_x1000")))
+
+
 def regex_token_count(docs: DataFrame) -> DataFrame:
     """(doc_id, n_regex_tokens): BPE-ish pre-tokenization count, JVM-side
     via regexp_count (no Python)."""

@@ -133,3 +133,35 @@ def test_unigram_logprob_ranks_rare_tokens_higher(spark):
     got = {r.doc_id: r.logprob_x1000 for r in unigram_logprob(docs).collect()}
     assert got[99] > got[0]
     assert got[0] == got[1]  # identical docs, identical scores
+
+
+def test_bigram_logprob_hand_computed(spark):
+    """Add-one bigram LM against a hand-computed case; short docs (<2
+    tokens) are omitted; count tables are never planner-forced
+    broadcasts (vocab-sized sides, AQE decides)."""
+    import math
+
+    from html_qt_spark.operators.textstats import bigram_logprob
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "a"), (3, "x y")], ["doc_id", "text"])
+    got = {r.doc_id: (r.n_bigrams, r.logprob_x1000)
+           for r in bigram_logprob(docs).collect()}
+    # corpus: bigrams ab,ba,ab,bc,xy; V=5; left counts a=2,b=2,x=1
+    p_ab = (2 + 1) / (2 + 5)
+    p_ba = (1 + 1) / (2 + 5)
+    p_bc = (1 + 1) / (2 + 5)
+    lp1 = -(2 * math.log(p_ab) + math.log(p_ba) + math.log(p_bc)) / 4
+    p_xy = (1 + 1) / (1 + 5)
+    lp3 = -math.log(p_xy)
+    exp = {
+        1: (4, math.floor(round(lp1, 6) * 1000)),
+        3: (1, math.floor(round(lp3, 6) * 1000)),
+    }
+    assert got == exp, (got, exp)
+    assert 2 not in got  # single-token doc has no bigrams
+
+    plan = bigram_logprob(docs)._jdf.queryExecution() \
+        .optimizedPlan().toString()
+    # the only hinted broadcast is the 1-row vocab-size scalar
+    assert plan.lower().count("hint") <= 1, plan
