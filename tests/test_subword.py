@@ -235,3 +235,37 @@ def test_chunk_subword_single_shuffle_plan(spark):
         .executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") <= 1, plan
     assert "EvalPython" not in plan, plan
+
+
+def test_exhaustive_small_alphabet_differential(spark):
+    """Every word of length 1..6 over {a,b} (126 words), several vocab
+    shapes — engine greedy count must equal the python reference on ALL
+    of them.  One Spark job per vocab (rows batched, not per-example
+    jobs)."""
+    from itertools import product
+
+    from pyspark.sql import functions as F
+
+    from html_qt_spark.operators.textstats import subword_word_counter
+
+    words = [
+        "".join(p)
+        for n in range(1, 7)
+        for p in product("ab", repeat=n)
+    ]
+    wdf = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(words)], ["i", "w"])
+    vocabs = [
+        ["ab"],                          # single piece
+        ["ab", "ba", "aa", "bb"],        # all 2-grams
+        ["aba", "bab", "ab"],            # overlapping 2/3-grams
+        ["aaaa", "aa", "abab"],          # nested lengths
+        ["abab", "baba", "aab", "ba"],   # mixed
+    ]
+    for vocab in vocabs:
+        counter = subword_word_counter(vocab, min_len=2, max_len=4)
+        got = {r.i: r.c for r in
+               wdf.select("i", counter(F.col("w")).alias("c")).collect()}
+        vs = set(vocab)
+        for i, w in enumerate(words):
+            assert got[i] == _ref_count(w, vs, 4, 2), (vocab, w, got[i])
