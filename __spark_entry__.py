@@ -567,6 +567,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return textstats.subword_token_count(docs, vocab,
                                              min_len=2, max_len=4)
 
+    def q_bpe_merges(spark, sf):
+        # distributed BPE tokenizer training (r4): data-dependent
+        # iterative merges -> rows-only driver check (no SQL oracle,
+        # per the driver contract for iterative algorithms); pinned
+        # merge-for-merge against the classic reference in pytest
+        return textstats.bpe_train(_docs(spark, sf), n_merges=12)
+
     def q_media_captions(spark, sf):
         # nearest text context per media span (caption pairing, r4)
         return multimodal.media_captions(interleaved_exploded(spark, sf))
@@ -620,6 +627,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new in round 4 --------------------------------------------
         "subword_tokens": q_subword_tokens,
         "chunk_subword": q_chunk_subword,
+        "bpe_merges": q_bpe_merges,
         "media_captions": q_media_captions,
         "ivf_topk_batch": q_ivf_topk_batch,
         # -- extraction flagship + r3-first-green ----------------------

@@ -574,3 +574,97 @@ def subword_word_counter(vocab: list[str], *, min_len: int = 2,
             lambda acc: acc["cnt"])
 
     return word_count
+
+
+# ------------------------------------------------------- BPE training
+
+def bpe_train(docs: DataFrame, *, n_merges: int = 50,
+              text_col: str = "text") -> DataFrame:
+    """Learn byte-pair-encoding merges from the corpus — the tokenizer-
+    TRAINING step a pre-training pipeline runs before counting/packing
+    (the greedy counters in :func:`subword_token_count` consume the
+    resulting pieces as their vocab).
+
+    Classic BPE over word types weighted by frequency: start from
+    character pieces, repeatedly count adjacent piece pairs corpus-wide
+    and merge the most frequent one (ties: lexicographic (left, right)
+    — a total order, so training is deterministic).  Word boundaries
+    are never crossed.
+
+    Distribution: the working set is the WORD-TYPE table (Zipf-bounded,
+    vastly sub-corpus — "the" is one row with count n).  Each round is
+    one explode+groupBy pair count (map-side combined) and ONE 1-row
+    collect of the argmax (control-plane, same class as the components
+    loop's convergence count), then a narrow per-row merge apply
+    (aggregate over the piece array, left-to-right non-overlapping) —
+    no corpus pass after the initial word count; ``localCheckpoint``
+    per round cuts the iterative lineage.  Rounds are sequential by
+    nature (merge i+1's counts depend on merge i) — this is the
+    standard parallel-BPE layout (count distributed, argmax central).
+
+    Returns the merge table (rank:int, left, right, merged) — rank is
+    application order.  Stops early when no pair occurs twice.
+    """
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("w")),
+        lambda i: F.substring(F.col("w"), i, 1))
+    words = (docs
+             .select(F.explode(
+                 F.filter(F.split(text_col, " "), lambda t: t != ""))
+                 .alias("w"))
+             .groupBy("w").agg(F.count("*").alias("n"))
+             .select(chars.alias("p"), "n")
+             .localCheckpoint())
+
+    merges: list[tuple[int, str, str, str]] = []
+    for rank in range(n_merges):
+        sz = F.size("p")
+        pair_col = F.arrays_zip(F.slice("p", 1, sz - 1),
+                                F.slice("p", 2, sz - 1))
+        top = (words
+               .where(sz >= 2)
+               .select(F.explode(pair_col).alias("pr"), "n")
+               .groupBy(F.col("pr.0").alias("l"),
+                        F.col("pr.1").alias("r"))
+               .agg(F.sum("n").alias("c"))
+               .where(F.col("c") >= 2)
+               .orderBy(F.col("c").desc(), "l", "r")
+               .limit(1)
+               .collect())
+        if not top:
+            break
+        left, right = top[0].l, top[0].r
+        merged = left + right
+        merges.append((rank, left, right, merged))
+        # left-to-right non-overlapping merge apply, per word row:
+        # state = (out pieces, skip flag set when i and i+1 merged)
+        p = F.col("p")
+        new_p = F.aggregate(
+            F.sequence(F.lit(0), F.size(p) - 1),
+            F.struct(F.array().cast("array<string>").alias("out"),
+                     F.lit(False).alias("skip")),
+            lambda acc, i: F.when(acc["skip"], F.struct(
+                acc["out"].alias("out"), F.lit(False).alias("skip")))
+            .when((i < F.size(p) - 1)
+                  & (F.element_at(p, i + 1) == F.lit(left))
+                  & (F.element_at(p, i + 2) == F.lit(right)),
+                  F.struct(F.concat(acc["out"],
+                                    F.array(F.lit(merged))).alias("out"),
+                           F.lit(True).alias("skip")))
+            .otherwise(F.struct(
+                F.concat(acc["out"],
+                         F.array(F.element_at(p, i + 1))).alias("out"),
+                F.lit(False).alias("skip"))),
+            lambda acc: acc["out"])
+        words = words.select(new_p.alias("p"), "n").localCheckpoint()
+
+    spark = docs.sparkSession
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("rank", T.IntegerType()),
+        T.StructField("left", T.StringType()),
+        T.StructField("right", T.StringType()),
+        T.StructField("merged", T.StringType()),
+    ])
+    return spark.createDataFrame(merges, schema)

@@ -269,3 +269,81 @@ def test_exhaustive_small_alphabet_differential(spark):
         vs = set(vocab)
         for i, w in enumerate(words):
             assert got[i] == _ref_count(w, vs, 4, 2), (vocab, w, got[i])
+
+
+def _ref_bpe(words_freq: dict[str, int], n_merges: int):
+    """Independent classic BPE reference (Sennrich et al. 2016 shape)."""
+    pieces = {w: list(w) for w in words_freq}
+    merges = []
+    for rank in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for w, f in words_freq.items():
+            p = pieces[w]
+            for i in range(len(p) - 1):
+                counts[(p[i], p[i + 1])] = \
+                    counts.get((p[i], p[i + 1]), 0) + f
+        counts = {k: v for k, v in counts.items() if v >= 2}
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append((rank, best[0], best[1], best[0] + best[1]))
+        for w in pieces:
+            p = pieces[w]
+            out = []
+            i = 0
+            while i < len(p):
+                if (i < len(p) - 1 and p[i] == best[0]
+                        and p[i + 1] == best[1]):
+                    out.append(best[0] + best[1])
+                    i += 2
+                else:
+                    out.append(p[i])
+                    i += 1
+            pieces[w] = out
+    return merges
+
+
+def test_bpe_train_matches_reference(spark):
+    """Distributed BPE == the classic single-machine algorithm, merge
+    for merge, on the canonical low/lower/newest/widest corpus AND a
+    mixed prose/code corpus (tie-breaks exercised)."""
+    import collections
+
+    from html_qt_spark.operators.textstats import bpe_train
+
+    corpora = [
+        "low low low lower lower newest newest newest newest "
+        "widest widest",
+        "the cat sat on the mat the cat ran off "
+        "def cat(x): return x mat(x) cat(x)",
+    ]
+    for text in corpora:
+        docs = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+        got = [(r.rank, r.left, r.right, r.merged)
+               for r in bpe_train(docs, n_merges=10).collect()]
+        exp = _ref_bpe(collections.Counter(text.split()), 10)
+        assert got == exp, (text, got, exp)
+
+
+def test_bpe_vocab_feeds_subword_counter(spark):
+    """End-to-end: learned merge pieces become the greedy counter's
+    vocab — trained pieces compress the training corpus (fewer subword
+    tokens than character count, more than whitespace count)."""
+    from pyspark.sql import functions as F
+
+    from html_qt_spark.operators.textstats import (
+        bpe_train,
+        subword_token_count,
+        token_count,
+    )
+
+    text = ("tokenize tokenizer tokenized tokenizing retokenize "
+            "tokenize tokenizer tokenized") 
+    docs = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    merges = bpe_train(docs, n_merges=12).collect()
+    vocab = sorted({r.merged for r in merges if 2 <= len(r.merged) <= 6})
+    sub = subword_token_count(docs, vocab, min_len=2,
+                              max_len=6).first().n_subword_tokens
+    n_ws = token_count(docs).first().n_tokens
+    n_chars = sum(len(w) for w in text.split())
+    assert n_ws < sub < n_chars, (n_ws, sub, n_chars)
