@@ -224,12 +224,12 @@ def ivf_centroids(embeddings: DataFrame, *, n_centroids: int = 8,
     """Hash-seeded coarse quantizer: the ``n_centroids`` stored vectors
     with the smallest (hash(salt:vec_id), vec_id) become list centroids.
 
-    A trained IVF runs k-means here; seeding from a deterministic hash
-    sample gives the identical plan shape and index contract
-    (assignment, probed search) without shipping a model artifact —
-    training is orthogonal to the distributed-search design and can be
-    swapped in by passing a precomputed centroid DataFrame to
-    :func:`ivf_topk`.  orderBy+limit executes as TakeOrdered
+    Seeding from a deterministic hash sample gives the full plan shape
+    and index contract (assignment, probed search) without shipping a
+    model artifact; :func:`kmeans_centroids` runs Lloyd rounds on top
+    of this init when trained centroids are wanted (``ivf_topk(...,
+    trained=True)``), and a precomputed centroid DataFrame can be
+    passed via ``centroids=``.  orderBy+limit executes as TakeOrdered
     (per-partition partial top-N + driver merge), never a full sort.
     Returns (centroid_id, c_emb).
     """
