@@ -567,6 +567,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return textstats.subword_token_count(docs, vocab,
                                              min_len=2, max_len=4)
 
+    def q_shard_manifest(spark, sf):
+        # trainer dataloader manifest over the packed shards (r4):
+        # per shard, doc ids in pack order + exclusive token offsets
+        from html_qt_spark.operators.curation import (
+            pack_shards,
+            shard_manifest,
+        )
+        packed = pack_shards(
+            textstats.token_count(_docs(spark, sf)),
+            token_budget=512)
+        return shard_manifest(packed)
+
     def q_bpe_merges(spark, sf):
         # distributed BPE tokenizer training (r4): data-dependent
         # iterative merges -> rows-only driver check (no SQL oracle,
@@ -627,6 +639,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new in round 4 --------------------------------------------
         "subword_tokens": q_subword_tokens,
         "chunk_subword": q_chunk_subword,
+        "shard_manifest": q_shard_manifest,
         "bpe_merges": q_bpe_merges,
         "media_captions": q_media_captions,
         "ivf_topk_batch": q_ivf_topk_batch,
@@ -1259,6 +1272,26 @@ def oracle_sql() -> dict[str, str]:
         "lsh_pairs_megabucket": _LSH_MEGA_ORACLE,
         "subword_tokens": _SUBWORD_ORACLE,
         "bigram_logprob": _BIGRAM_ORACLE,
+        "shard_manifest": (
+            "WITH tc AS (SELECT doc_id, "
+            "len(list_filter(string_split(text, ' '), x -> x <> '')) "
+            "AS n_tokens FROM documents), "
+            "packed AS (SELECT doc_id, n_tokens, "
+            "CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+            "// 512 AS BIGINT) AS shard_id, "
+            "coalesce(sum(n_tokens) OVER (ORDER BY doc_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+            "AS cumb FROM tc), "
+            "offs AS (SELECT doc_id, n_tokens, shard_id, "
+            "coalesce(sum(n_tokens) OVER (PARTITION BY shard_id "
+            "ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND "
+            "1 PRECEDING), 0) AS off FROM packed) "
+            "SELECT shard_id, CAST(count(*) AS INT) AS n_docs, "
+            "CAST(sum(n_tokens) AS BIGINT) AS total_tokens, "
+            "list(doc_id ORDER BY doc_id) AS doc_ids, "
+            "list(CAST(off AS BIGINT) ORDER BY doc_id) AS offsets "
+            "FROM offs GROUP BY shard_id"),
         "chunk_subword": _CHUNK_SUBWORD_ORACLE,
         "media_captions": oracle_cte(
             'SELECT doc_id, "offset", media_ref, caption_before, '

@@ -284,3 +284,41 @@ def chunk_documents_subword(docs: DataFrame, *, chunk_tokens: int,
                         " ", F.transform("pw", lambda s: s["w"]))
                     .alias("chunk_text"),
                     "n_subword_tokens"))
+
+
+def shard_manifest(packed: DataFrame, *, tokens_col: str = "n_tokens",
+                   id_col: str = "doc_id",
+                   partition_cols: list[str] | None = None) -> DataFrame:
+    """Per-shard manifest for the trainer dataloader: the documents a
+    shard holds IN PACK ORDER plus their exclusive token offsets — the
+    metadata a sequence-packing reader needs to rebuild document
+    boundaries (attention-mask resets) without re-scanning text.
+
+    One groupBy on the shard key (same partitioning the pack's window
+    already established); in-shard order is ``id_col`` ascending —
+    identical to :func:`pack_shards`'s fill order, so offsets line up
+    with the prefix sums that assigned the shards.  The offsets array
+    builds in one fold over the (small) per-shard doc list.
+    Returns (partition_cols..., shard_id, n_docs, total_tokens,
+    doc_ids, offsets).
+    """
+    keys = list(partition_cols or []) + ["shard_id"]
+    dt = F.array_sort(F.collect_list(F.struct(id_col, tokens_col)))
+    offs = F.aggregate(
+        F.transform("dt", lambda s: s[tokens_col].cast("long")),
+        F.struct(F.lit(0).cast("long").alias("acc"),
+                 F.array().cast("array<bigint>").alias("o")),
+        lambda st, t: F.struct(
+            (st["acc"] + t).alias("acc"),
+            F.concat(st["o"], F.array(st["acc"])).alias("o")),
+        lambda st: st["o"])
+    return (packed
+            .groupBy(*keys)
+            .agg(dt.alias("dt"),
+                 F.sum(tokens_col).cast("long").alias("total_tokens"))
+            .select(*keys,
+                    F.size("dt").alias("n_docs"),
+                    "total_tokens",
+                    F.transform("dt", lambda s: s[id_col])
+                    .alias("doc_ids"),
+                    offs.alias("offsets")))

@@ -263,3 +263,33 @@ def test_kmv_sketch_accuracy_and_exactness(spark):
              kmv_distinct(df, col="text", group_col="lang",
                           k=64).collect()}
     assert again["a"] == got["a"].est_distinct
+
+
+def test_shard_manifest_offsets_rebuild_boundaries(spark):
+    """Manifest invariants: in-shard order matches the pack's fill
+    order, offsets are exclusive prefix sums of the doc token counts,
+    and offsets[i] + tokens[i] chains to offsets[i+1] (the dataloader's
+    attention-boundary rebuild)."""
+    from html_qt_spark.operators.curation import (
+        pack_shards,
+        shard_manifest,
+    )
+
+    rows = [(i, 10 + (i * 7) % 23) for i in range(40)]
+    docs = spark.createDataFrame(rows, ["doc_id", "n_tokens"])
+    packed = pack_shards(docs, token_budget=60)
+    man = {r.shard_id: r for r in shard_manifest(packed).collect()}
+    toks = dict(rows)
+    # every doc appears exactly once across manifests, in doc_id order
+    seen = []
+    for sid in sorted(man):
+        r = man[sid]
+        assert r.doc_ids == sorted(r.doc_ids)
+        assert r.n_docs == len(r.doc_ids) == len(r.offsets)
+        assert r.total_tokens == sum(toks[d] for d in r.doc_ids)
+        off = 0
+        for d, o in zip(r.doc_ids, r.offsets):
+            assert o == off, (sid, d, o, off)
+            off += toks[d]
+        seen.extend(r.doc_ids)
+    assert sorted(seen) == [i for i, _ in rows]
