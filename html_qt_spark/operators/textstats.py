@@ -459,7 +459,10 @@ def scrub_pii(docs: DataFrame, *, text_col: str = "text") -> DataFrame:
 
 def subword_vocab(docs: DataFrame, *, vocab_size: int = 256,
                   min_len: int = 2, max_len: int = 6,
-                  text_col: str = "text") -> DataFrame:
+                  text_col: str = "text",
+                  sample_fraction: float | None = None,
+                  id_col: str = "doc_id",
+                  salt: str = "svocab") -> DataFrame:
     """Corpus-derived subword vocabulary: the ``vocab_size`` most
     frequent word-internal character n-grams (length min_len..max_len),
     counted over word OCCURRENCES, ties broken by piece ascending so
@@ -469,12 +472,23 @@ def subword_vocab(docs: DataFrame, *, vocab_size: int = 256,
     This is the deterministic stand-in for a BPE merge table: greedy
     longest-match over frequent substrings tracks subword counts far
     closer than whitespace on code/CJK-ish text (VERDICT r3 task #6),
-    without shipping a trained artifact.  At 10^12 docs you would
-    derive the vocab from a hash-sample of documents (the derivation
-    is one explode + count shuffle either way); the top-k runs as
-    TakeOrdered (per-partition partial top-k, no full sort).
-    Returns (piece, n) ordered by the ranking.
+    without shipping a trained artifact.  The piece explode is ~5x the
+    token volume, so at 10^12 docs derive the vocab from a sample:
+    ``sample_fraction`` keeps that share of documents by a
+    deterministic id hash (xxhash64 — reproducible across runs and
+    engines, unlike rand()-based sampling); top-substring frequencies
+    are Zipf-stable under sampling, so the ranking barely moves.  The
+    top-k runs as TakeOrdered (per-partition partial top-k, no full
+    sort).  Returns (piece, n) ordered by the ranking.
     """
+    if sample_fraction is not None:
+        if not 0 < sample_fraction <= 1:
+            raise ValueError("sample_fraction must be in (0, 1]")
+        m = 1_000_000
+        docs = docs.where(
+            F.pmod(F.xxhash64(F.concat(
+                F.lit(salt + ":"), F.col(id_col).cast("string"))),
+                F.lit(m)) < int(sample_fraction * m))
     words = docs.select(
         F.explode(F.filter(F.split(text_col, " "), lambda t: t != ""))
         .alias("w"))

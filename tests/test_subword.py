@@ -347,3 +347,29 @@ def test_bpe_vocab_feeds_subword_counter(spark):
     n_ws = token_count(docs).first().n_tokens
     n_chars = sum(len(w) for w in text.split())
     assert n_ws < sub < n_chars, (n_ws, sub, n_chars)
+
+
+def test_vocab_hash_sample_deterministic_and_stable(spark):
+    """The sampled vocab derivation is (a) deterministic run to run,
+    (b) derived from a strict subset of docs, and (c) rank-stable for
+    the head of the distribution (Zipf heads survive sampling)."""
+    from html_qt_spark.operators.textstats import subword_vocab
+
+    rows = [(i, ("the quick brown fox tokenization pipeline " * 3))
+            for i in range(40)]
+    rows += [(100 + i, f"rare{i} singleton words here") for i in range(10)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    full = [r.piece for r in subword_vocab(
+        docs, vocab_size=16, min_len=2, max_len=4).collect()]
+    s1 = [r.piece for r in subword_vocab(
+        docs, vocab_size=16, min_len=2, max_len=4,
+        sample_fraction=0.5).collect()]
+    s2 = [r.piece for r in subword_vocab(
+        docs, vocab_size=16, min_len=2, max_len=4,
+        sample_fraction=0.5).collect()]
+    assert s1 == s2  # deterministic hash sample
+    # head stability: the dominant template pieces survive sampling
+    assert len(set(full[:8]) & set(s1)) >= 6, (full[:8], s1)
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        subword_vocab(docs, sample_fraction=0.0)
