@@ -567,6 +567,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return textstats.subword_token_count(docs, vocab,
                                              min_len=2, max_len=4)
 
+    def q_mask_runs(spark, sf):
+        # exact-substring dedup (r4): duplicated 8-token runs masked
+        # from EVERY doc carrying them (Lee et al. ExactSubstr shape)
+        return dedup.mask_common_runs(_docs(spark, sf), n=8,
+                                      min_docs=2)
+
     def q_shard_manifest(spark, sf):
         # trainer dataloader manifest over the packed shards (r4):
         # per shard, doc ids in pack order + exclusive token offsets
@@ -639,6 +645,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new in round 4 --------------------------------------------
         "subword_tokens": q_subword_tokens,
         "chunk_subword": q_chunk_subword,
+        "mask_runs": q_mask_runs,
         "shard_manifest": q_shard_manifest,
         "bpe_merges": q_bpe_merges,
         "media_captions": q_media_captions,
@@ -1272,6 +1279,7 @@ def oracle_sql() -> dict[str, str]:
         "lsh_pairs_megabucket": _LSH_MEGA_ORACLE,
         "subword_tokens": _SUBWORD_ORACLE,
         "bigram_logprob": _BIGRAM_ORACLE,
+        "mask_runs": "WITH ts AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents), gr AS (SELECT doc_id, i - 1 AS pos, md5(array_to_string(toks[i:i+7], chr(0))) AS g FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 8 + 2)) AS i FROM ts WHERE len(toks) >= 8)), dup AS (SELECT g FROM gr GROUP BY g HAVING count(DISTINCT doc_id) >= 2), hits AS (SELECT doc_id, list(pos ORDER BY pos) AS hs FROM gr JOIN dup USING (g) GROUP BY doc_id), j AS (SELECT t.doc_id, t.toks, coalesce(h.hs, CAST([] AS BIGINT[])) AS hs FROM ts t LEFT JOIN hits h USING (doc_id)), k AS (SELECT doc_id, toks, list_filter(range(0, len(toks)), i -> len(list_filter(hs, h -> h <= i AND i < h + 8)) = 0) AS keep FROM j) SELECT doc_id, coalesce(array_to_string(list_transform(keep, i -> toks[CAST(i + 1 AS INT)]), ' '), '') AS clean_text, CAST(len(toks) - len(keep) AS BIGINT) AS n_tokens_masked FROM k",
         "shard_manifest": (
             "WITH tc AS (SELECT doc_id, "
             "len(list_filter(string_split(text, ' '), x -> x <> '')) "

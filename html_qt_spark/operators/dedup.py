@@ -449,3 +449,67 @@ def connected_components_star(pairs: DataFrame, *, max_iter: int = 40,
             .select(F.col("vid").alias("doc_id"),
                     F.coalesce("component_id", F.col("vid"))
                     .alias("component_id")))
+
+
+def mask_common_runs(docs: DataFrame, *, n: int = 10,
+                     min_docs: int = 2,
+                     text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Exact-substring dedup at token granularity (the Lee et al. 2022
+    "Deduplicating Training Data" ExactSubstr shape, on token n-grams
+    instead of suffix arrays): any run of ``n`` consecutive tokens that
+    appears in >= ``min_docs`` DISTINCT documents is masked out of
+    every document containing it — repeated licence blocks, navigation
+    chrome, and quoted chain-letters vanish corpus-wide, including
+    from the first document that carried them (unlike first-wins
+    paragraph dedup, which keeps one copy).
+
+    Plan: posexplode token n-grams (hashed md5 for engine-portable
+    compare), count DISTINCT docs per gram (one shuffle on the
+    Zipf-bounded gram table), join hits back (no forced broadcast —
+    the dup-gram table can be large), collect hit START positions per
+    doc (second doc-keyed shuffle), then rebuild each document row-
+    locally: token i survives iff no hit start h satisfies
+    h <= i < h+n (an ``exists`` probe per token over the per-doc hit
+    array — fine while per-doc hits are bounded; a pathological doc
+    that is ENTIRELY quoted material degrades to O(tokens·hits),
+    which an interval-merge pre-pass would cap at scale).
+    Returns (id_col, clean_text, n_tokens_masked).
+    """
+    toks_arr = F.filter(F.split(text_col, " "), lambda t: t != "")
+    base = docs.select(id_col, toks_arr.alias("_ts"))
+    sz = F.size("_ts")
+    gram_structs = F.transform(
+        F.sequence(F.lit(0),
+                   F.greatest(sz - n, F.lit(-1))),
+        lambda i: F.struct(
+            i.cast("int").alias("pos"),
+            F.md5(F.concat_ws("\x00", F.slice("_ts", i + 1, n)))
+            .alias("g")))
+    grams = (base
+             .where(sz >= n)
+             .select(id_col, F.explode(gram_structs).alias("ps"))
+             .select(id_col, F.col("ps.pos").alias("pos"),
+                     F.col("ps.g").alias("g")))
+    dup = (grams.groupBy("g")
+           .agg(F.countDistinct(id_col).alias("_nd"))
+           .where(F.col("_nd") >= min_docs)
+           .select("g"))
+    hits = (grams.join(dup, "g")
+            .groupBy(id_col)
+            .agg(F.array_sort(F.collect_list("pos")).alias("_hits")))
+    joined = base.join(hits, id_col, "left")
+    hits_arr = F.coalesce(F.col("_hits"),
+                          F.array().cast("array<int>"))
+    keep = F.filter(
+        F.transform("_ts",
+                    lambda t, i: F.struct(t.alias("t"),
+                                          i.cast("int").alias("i"))),
+        lambda s: ~F.exists(hits_arr,
+                            lambda h: (h <= s["i"]) & (s["i"] < h + n)))
+    return joined.select(
+        id_col,
+        F.concat_ws(" ", F.transform(keep, lambda s: s["t"]))
+        .alias("clean_text"),
+        (F.size("_ts") - F.size(keep)).cast("long")
+        .alias("n_tokens_masked"))

@@ -169,3 +169,46 @@ def test_lsh_cap_plan_single_bucket_shuffle(spark):
     # no broadcast anywhere in the LSH plan: every side is corpus-scale
     assert "BroadcastExchange" not in plan, plan
     assert plan.count("Exchange hashpartitioning") <= 6, plan
+
+
+def test_mask_common_runs_removes_all_copies(spark):
+    """Exact-substring run masking (Lee et al. ExactSubstr shape): a
+    licence block shared by two docs vanishes from BOTH (not
+    first-wins); unique text and short docs are untouched; masked
+    token accounting is exact."""
+    from html_qt_spark.operators.dedup import mask_common_runs
+
+    lic = ("permission is hereby granted free of charge to any person "
+           "obtaining a copy")
+    rows = [
+        (1, f"intro one {lic} body text alpha"),
+        (2, f"different opening {lic} other conclusion"),
+        (3, "totally unrelated document with plain distinct words"),
+        (4, "short doc"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: (r.clean_text, r.n_tokens_masked)
+           for r in mask_common_runs(docs, n=5, min_docs=2).collect()}
+    n_lic = len(lic.split())
+    assert got[1] == ("intro one body text alpha", n_lic)
+    assert got[2] == ("different opening other conclusion", n_lic)
+    assert got[3] == (rows[2][1], 0)
+    assert got[4] == ("short doc", 0)
+
+
+def test_mask_common_runs_full_mask_and_within_doc(spark):
+    """A doc that IS the shared run masks to empty string; repeats
+    WITHIN one doc alone (min_docs=2 distinct docs) do not mask."""
+    from html_qt_spark.operators.dedup import mask_common_runs
+
+    run = "alpha beta gamma delta epsilon"
+    rows = [
+        (1, run),
+        (2, run),
+        (3, "solo solo solo solo solo solo solo solo solo solo"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: (r.clean_text, r.n_tokens_masked)
+           for r in mask_common_runs(docs, n=5, min_docs=2).collect()}
+    assert got[1] == ("", 5) and got[2] == ("", 5)
+    assert got[3][1] == 0  # intra-doc repetition alone never masks
