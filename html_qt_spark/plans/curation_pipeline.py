@@ -49,6 +49,7 @@ def run_curation_job(
     min_words: int = 5,
     max_words: int = 100_000,
     para_max_doc_freq: int | None = None,
+    mask_run_tokens: int | None = None,
     lsh_num_hashes: int = 16,
     lsh_bands: int = 4,
     alpha: float = 0.5,
@@ -92,6 +93,20 @@ def run_curation_job(
             cur, max_doc_freq=para_max_doc_freq)
         cur = _count("para_filter", cur.select("doc_id", "lang", "source")
                      .join(cleaned.where(F.col("clean_text") != "")
+                           .select("doc_id", F.col("clean_text")
+                                   .alias("text")), "doc_id"))
+
+    # 3b. optional exact-substring masking (Lee et al. ExactSubstr
+    #     shape): duplicated mask_run_tokens-token runs vanish from
+    #     EVERY carrier before whole-doc dedup sees them, so a doc
+    #     that is 90% licence block dedups on its remaining 10%
+    if mask_run_tokens is not None:
+        from html_qt_spark.operators.dedup import mask_common_runs
+
+        masked = mask_common_runs(cur, n=mask_run_tokens)
+        cur = _count("run_masked", cur
+                     .select("doc_id", "lang", "source")
+                     .join(masked.where(F.col("clean_text") != "")
                            .select("doc_id", F.col("clean_text")
                                    .alias("text")), "doc_id"))
 

@@ -33,6 +33,9 @@ def main() -> None:
     ap.add_argument("--alpha", type=float, default=0.5)
     ap.add_argument("--max-per-source", type=int, default=None)
     ap.add_argument("--para-max-doc-freq", type=int, default=None)
+    ap.add_argument("--mask-run-tokens", type=int, default=None,
+                    help="mask token runs of this length appearing in "
+                    ">=2 docs (exact-substring dedup) before doc dedup")
     ap.add_argument("--token-budget", type=int, default=2048)
     ap.add_argument("--subword-vocab-size", type=int, default=None,
                     help="budget shards by greedy subword counts over a "
@@ -59,6 +62,7 @@ def main() -> None:
         min_words=args.min_words, alpha=args.alpha,
         max_per_source=args.max_per_source,
         para_max_doc_freq=args.para_max_doc_freq,
+        mask_run_tokens=args.mask_run_tokens,
         token_budget=args.token_budget,
         subword_vocab_size=args.subword_vocab_size)
     print(json.dumps(stats))

@@ -100,3 +100,33 @@ def test_curation_job_subword_budgets(spark, tmp_path_factory):
            .agg(F.sum("n_tokens").alias("t"),
                 F.max("n_tokens").alias("m")))
     assert tot.where(F.col("t") > 256 + F.col("m")).count() == 0
+
+
+def test_curation_job_exact_substring_stage(spark, tmp_path_factory):
+    """With mask_run_tokens set, duplicated runs are gone from the
+    written shards (no 6-token run shared across output docs), and the
+    funnel stays monotone through the new stage."""
+    from pyspark.sql import functions as F
+
+    from html_qt_spark.plans.curation_pipeline import run_curation_job
+
+    out = str(tmp_path_factory.mktemp("curate_mask"))
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    stats = run_curation_job(spark, docs, out, min_words=3,
+                             token_budget=512, mask_run_tokens=6)
+    assert stats["run_masked"] <= stats["quality"]
+    assert stats["written"] > 0
+    shards = spark.read.parquet(f"{out}/shards")
+    toks = shards.select(
+        "doc_id",
+        F.filter(F.split("text", " "), lambda t: t != "").alias("ts"))
+    grams = toks.where(F.size("ts") >= 6).select(
+        "doc_id",
+        F.explode(F.transform(
+            F.sequence(F.lit(0), F.size("ts") - 6),
+            lambda i: F.concat_ws("\x00", F.slice("ts", i + 1, 6))))
+        .alias("g"))
+    leftover = (grams.groupBy("g")
+                .agg(F.countDistinct("doc_id").alias("nd"))
+                .where("nd >= 2").count())
+    assert leftover == 0, leftover
