@@ -165,3 +165,37 @@ def test_bigram_logprob_hand_computed(spark):
         .optimizedPlan().toString()
     # the only hinted broadcast is the 1-row vocab-size scalar
     assert plan.lower().count("hint") <= 1, plan
+
+
+def test_linear_classifier_score_plan_and_weights(spark):
+    """The classifier application is one narrow projection (no
+    Exchange, no Python workers); real weights are pluggable and score
+    exactly as the hand computation says."""
+    from pyspark.sql import functions as F
+
+    from html_qt_spark.operators.textstats import linear_classifier_score
+
+    docs = spark.createDataFrame(
+        [(1, "aa bb aa"), (2, "")], ["doc_id", "text"])
+    plan = linear_classifier_score(docs)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "EvalPython" not in plan, plan
+
+    # pluggable weights: dim=4, xxhash64 buckets computed by the engine
+    # itself, then the mean checked by hand
+    w = [0.5, -0.25, 1.0, 0.0]
+    out = {r.doc_id: (r.n_tokens, r.score_x1000)
+           for r in linear_classifier_score(
+               docs, dim=4, weights=w).collect()}
+    b = {r.t: r.b for r in docs.sparkSession.createDataFrame(
+        [("aa",), ("bb",)], ["t"]).select(
+        "t", F.pmod(F.xxhash64(F.concat(F.lit("lcls:"), F.col("t"))),
+                    F.lit(4)).alias("b")).collect()}
+    import math
+    exp = (2 * w[b["aa"]] + w[b["bb"]]) / 3
+    assert out[1] == (3, math.floor(round(exp, 6) * 1000))
+    assert out[2] == (0, None)  # empty doc: null score, not a crash
+
+    with __import__("pytest").raises(ValueError):
+        linear_classifier_score(docs, dim=8, weights=[1.0])
