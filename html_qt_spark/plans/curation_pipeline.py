@@ -50,6 +50,9 @@ def run_curation_job(
     max_words: int = 100_000,
     para_max_doc_freq: int | None = None,
     mask_run_tokens: int | None = None,
+    classifier_min_x1000: int | None = None,
+    classifier_weights: list[float] | None = None,
+    classifier_dim: int = 1024,
     lsh_num_hashes: int = 16,
     lsh_bands: int = 4,
     alpha: float = 0.5,
@@ -95,6 +98,20 @@ def run_curation_job(
                      .join(cleaned.where(F.col("clean_text") != "")
                            .select("doc_id", F.col("clean_text")
                                    .alias("text")), "doc_id"))
+
+    # 3a. optional learned quality gate: hashed linear classifier
+    #     (fastText/DCLM shape) — a narrow zero-shuffle projection, so
+    #     gating here costs one scan fused into the same stage
+    if classifier_min_x1000 is not None:
+        from html_qt_spark.operators.textstats import (
+            linear_classifier_score,
+        )
+
+        scores = linear_classifier_score(
+            cur, dim=classifier_dim, weights=classifier_weights)
+        cur = _count("classifier", cur.join(
+            scores.where(F.col("score_x1000") >= classifier_min_x1000)
+            .select("doc_id"), "doc_id"))
 
     # 3b. optional exact-substring masking (Lee et al. ExactSubstr
     #     shape): duplicated mask_run_tokens-token runs vanish from

@@ -33,6 +33,9 @@ def main() -> None:
     ap.add_argument("--alpha", type=float, default=0.5)
     ap.add_argument("--max-per-source", type=int, default=None)
     ap.add_argument("--para-max-doc-freq", type=int, default=None)
+    ap.add_argument("--classifier-min-x1000", type=int, default=None,
+                    help="gate docs on the hashed linear classifier "
+                    "score (x1000); weights default to the stand-in")
     ap.add_argument("--mask-run-tokens", type=int, default=None,
                     help="mask token runs of this length appearing in "
                     ">=2 docs (exact-substring dedup) before doc dedup")
@@ -63,6 +66,7 @@ def main() -> None:
         max_per_source=args.max_per_source,
         para_max_doc_freq=args.para_max_doc_freq,
         mask_run_tokens=args.mask_run_tokens,
+        classifier_min_x1000=args.classifier_min_x1000,
         token_budget=args.token_budget,
         subword_vocab_size=args.subword_vocab_size)
     print(json.dumps(stats))

@@ -130,3 +130,24 @@ def test_curation_job_exact_substring_stage(spark, tmp_path_factory):
                 .agg(F.countDistinct("doc_id").alias("nd"))
                 .where("nd >= 2").count())
     assert leftover == 0, leftover
+
+
+def test_curation_job_classifier_gate(spark, tmp_path_factory):
+    """classifier_min_x1000 gates on the linear-head score: survivors
+    all score at or above the threshold, and the funnel shrinks
+    relative to the ungated run."""
+    from html_qt_spark.operators.textstats import linear_classifier_score
+    from html_qt_spark.plans.curation_pipeline import run_curation_job
+
+    out = str(tmp_path_factory.mktemp("curate_cls"))
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    base = run_curation_job(spark, docs,
+                            str(tmp_path_factory.mktemp("curate_base")),
+                            min_words=3, token_budget=512)
+    gated = run_curation_job(spark, docs, out, min_words=3,
+                             token_budget=512, classifier_min_x1000=0)
+    assert gated["classifier"] <= gated["quality"]
+    assert gated["written"] <= base["written"]
+    shards = spark.read.parquet(f"{out}/shards")
+    scored = linear_classifier_score(shards.select("doc_id", "text"))
+    assert scored.where("score_x1000 < 0").count() == 0
