@@ -490,3 +490,49 @@ def ann_lsh_topk(embeddings: DataFrame, query_vec_id: int = 0,
     )
     cand_emb = embeddings.join(candidates, "vec_id")
     return cosine_topk_scores(cand_emb, query_vec_id, k)
+
+
+def semantic_dedup(embeddings: DataFrame, *, n_centroids: int = 64,
+                   threshold: float = 0.95, trained: bool = False,
+                   n_iter: int = 1, salt: str = "ivf",
+                   hash_fn: str = "xxhash64") -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic near-duplicate pruning by
+    clustering embeddings and comparing pairs ONLY within a cluster —
+    the trick that turns the O(n²) pairwise cosine into k bounded
+    self-joins of ~n/k vectors each.
+
+    Composition of the existing index ops: coarse-quantize with
+    :func:`ivf_centroids` (or :func:`kmeans_centroids` when
+    ``trained=True``), assign every vector to one list, self-join each
+    list on its own key (one shuffle on list_id; per-list work is
+    (n/k)² — choose k so lists fit the quadratic budget, exactly the
+    occupancy-control argument from :func:`ivf_topk`), keep a pair
+    when cosine >= threshold, and drop the larger vec_id of each pair
+    (min-id-wins, transitively: a vector survives iff NO smaller
+    same-cluster vector sits within the threshold).
+
+    Returns (vec_id, list_id, keep) for every input vector — the
+    decision table; filter ``keep`` to materialize the pruned corpus.
+    """
+    if trained:
+        cents = kmeans_centroids(embeddings, n_centroids=n_centroids,
+                                 n_iter=n_iter, salt=salt,
+                                 hash_fn=hash_fn)
+    else:
+        cents = ivf_centroids(embeddings, n_centroids=n_centroids,
+                              salt=salt, hash_fn=hash_fn)
+    assign = ivf_assign(embeddings, cents)
+    e = embeddings.join(assign, "vec_id")
+    a = e.alias("a")
+    b = e.alias("b")
+    cos = _cos_d(F.col("a.embedding"), F.col("b.embedding"))
+    dropped = (a.join(b, "list_id")
+               .where(F.col("a.vec_id") < F.col("b.vec_id"))
+               .where(F.round(cos, 6) >= threshold)
+               .select(F.col("b.vec_id").alias("vec_id"))
+               .distinct())
+    return (assign
+            .join(dropped.withColumn("_d", F.lit(True)),
+                  "vec_id", "left")
+            .select("vec_id", "list_id",
+                    F.coalesce(~F.col("_d"), F.lit(True)).alias("keep")))

@@ -360,3 +360,37 @@ def test_ivf_batch_full_probe_equals_knn_join(spark):
     exact = {(r.q_id, r.rank): r.vec_id
              for r in cosine_topk_batch(emb, qs, k=6).collect()}
     assert full == exact
+
+
+def test_semantic_dedup_prunes_planted_clusters(spark):
+    """SemDeDup on planted near-dup clusters: each cluster collapses to
+    (at least) its min-id member; isolated background vectors all
+    survive; the pairwise work is cluster-bounded (self-join on
+    list_id, never a full cross join)."""
+    from pyspark.sql import functions as F
+
+    from html_qt_spark.operators.similarity import semantic_dedup
+
+    # tight clusters (noise=0.05 -> intra cos ~0.999) + background
+    emb = _clustered_embeddings(spark, n_clusters=6, per_cluster=5,
+                                noise=0.05)
+    bg = spark.createDataFrame(
+        [(1000 + i, _pseudo(9000 + i)) for i in range(10)],
+        ["vec_id", "embedding"])
+    all_emb = emb.unionByName(bg)
+    out = semantic_dedup(all_emb, n_centroids=6, threshold=0.98,
+                         trained=True, n_iter=2)
+    rows = {r.vec_id: (r.list_id, r.keep) for r in out.collect()}
+    assert len(rows) == 40  # decision for every vector
+    # every planted cluster loses all but (>=)1 member; the survivor
+    # set contains each cluster's min id
+    for c in range(6):
+        ids = list(range(c * 5, c * 5 + 5))
+        kept = [i for i in ids if rows[i][1]]
+        assert rows[min(ids)][1], c          # min id always survives
+        assert len(kept) <= 2, (c, kept)     # cluster collapsed
+    # isolated background: nothing within 0.98 of anything
+    assert all(rows[1000 + i][1] for i in range(10))
+    plan = semantic_dedup(all_emb, n_centroids=6, threshold=0.98) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
