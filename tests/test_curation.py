@@ -293,3 +293,18 @@ def test_shard_manifest_offsets_rebuild_boundaries(spark):
             off += toks[d]
         seen.extend(r.doc_ids)
     assert sorted(seen) == [i for i, _ in rows]
+
+
+def test_shard_manifest_single_exchange_plan(spark):
+    """Manifest agg = one shard-key exchange; no broadcast, no join."""
+    from html_qt_spark.operators.curation import (
+        pack_shards,
+        shard_manifest,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, 10) for i in range(20)], ["doc_id", "n_tokens"])
+    plan = shard_manifest(pack_shards(docs, token_budget=25)) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
+    assert "Join" not in plan, plan

@@ -212,3 +212,15 @@ def test_mask_common_runs_full_mask_and_within_doc(spark):
            for r in mask_common_runs(docs, n=5, min_docs=2).collect()}
     assert got[1] == ("", 5) and got[2] == ("", 5)
     assert got[3][1] == 0  # intra-doc repetition alone never masks
+
+
+def test_mask_common_runs_no_forced_broadcast(spark):
+    """The duplicated-gram table can be corpus-gram-sized: neither its
+    join back to gram positions nor the hits join to docs may carry a
+    planner-forced broadcast hint."""
+    from html_qt_spark.operators.dedup import mask_common_runs
+
+    docs = _skewed_docs(spark, n_dup=5, n_uniq=10)
+    before_aqe = mask_common_runs(docs, n=5)._jdf.queryExecution() \
+        .optimizedPlan().toString()
+    assert "broadcast" not in before_aqe.lower(), before_aqe
