@@ -265,8 +265,9 @@ def chunk_documents_subword(docs: DataFrame, *, chunk_tokens: int,
                                    max_len=max_len)
     words = docs.select(
         id_col,
-        F.posexplode(F.filter(F.split(text_col, " "),
-                              lambda t: t != "")).alias("pos", "w"))
+        F.posexplode(F.filter(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), " "),
+            lambda t: t != "")).alias("pos", "w"))
     weighted = words.withColumn("wtok", counter(F.col("w")))
     win = (Window.partitionBy(id_col).orderBy("pos")
            .rowsBetween(Window.unboundedPreceding, -1))

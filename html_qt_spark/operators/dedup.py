@@ -476,7 +476,9 @@ def mask_common_runs(docs: DataFrame, *, n: int = 10,
     which an interval-merge pre-pass would cap at scale).
     Returns (id_col, clean_text, n_tokens_masked).
     """
-    toks_arr = F.filter(F.split(text_col, " "), lambda t: t != "")
+    toks_arr = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), " "),
+        lambda t: t != "")
     base = docs.select(id_col, toks_arr.alias("_ts"))
     sz = F.size("_ts")
     gram_structs = F.transform(

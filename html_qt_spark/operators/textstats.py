@@ -263,11 +263,15 @@ def bigram_logprob(docs: DataFrame, *, k_smooth: float = 1.0) -> DataFrame:
     drift-absorbing integerization as the entropy/unigram oracles.
     Returns (doc_id, n_bigrams, logprob_x1000).
     """
-    toks_arr = F.filter(F.split("text", " "), lambda t: t != "")
+    toks_arr = F.filter(
+        F.split(F.coalesce(F.col("text"), F.lit("")), " "),
+        lambda t: t != "")
     n = F.size(toks_arr)
+    # greatest(.., 0): slice() raises on negative length when a doc has
+    # zero tokens (found by the degenerate-input tests)
     pairs = F.arrays_zip(
-        F.slice(toks_arr, 1, n - 1),
-        F.slice(toks_arr, 2, n - 1))
+        F.slice(toks_arr, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(toks_arr, 2, F.greatest(n - 1, F.lit(0))))
     bi = (docs
           .select("doc_id", F.explode(pairs).alias("p"))
           .select("doc_id", F.col("p.0").alias("w1"),
@@ -545,7 +549,11 @@ def subword_token_count(docs: DataFrame, vocab: list[str], *,
     """
     word_count = subword_word_counter(vocab, min_len=min_len,
                                       max_len=max_len)
-    words = F.filter(F.split(text_col, " "), lambda t: t != "")
+    # null text counts 0 (coalesce BEFORE split: split(NULL) is NULL and
+    # would null the whole aggregate)
+    words = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), " "),
+        lambda t: t != "")
     return docs.select(
         id_col,
         F.aggregate(words, F.lit(0), lambda a, w: a + word_count(w))
@@ -717,7 +725,9 @@ def linear_classifier_score(docs: DataFrame, *, dim: int = 1024,
     if len(weights) != dim:
         raise ValueError("len(weights) must equal dim")
     w_arr = F.array(*[F.lit(float(x)) for x in weights])
-    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    toks = F.filter(
+        F.split(F.coalesce(F.col("text"), F.lit("")), " "),
+        lambda t: t != "")
     if hash_fn == "md5_32":
         def bucket(t):
             return F.pmod(
