@@ -120,11 +120,21 @@ def _band_buckets_udf(num_hashes: int, bands: int, shingle_n: int):
 
 
 def _bucket_pfx(col):
-    """Partition key for the bucket store: band digit + first signature
-    hex char — bands × 16 directory partitions (e.g. "0a").  Derived
-    from the bucket string itself so batch side and store side always
-    agree."""
-    return F.concat(F.substring(col, 1, 1), F.substring(col, 3, 1))
+    """Partition key for the bucket store: ``'p' + band + first
+    signature hex char`` — bands × 16 directory partitions (e.g.
+    "p0a").  Derived from the bucket string itself (split on the
+    ``band:hash`` colon, so multi-digit bands stay distinct) so batch
+    side and store side always agree.  The leading ``'p'`` keeps the
+    value non-numeric: without it, a store whose live prefixes happen
+    to be all-digit (e.g. "07") would be read back through Spark's
+    partition-column type INFERENCE as int 7, silently breaking the
+    string ``isin`` prune in :func:`pruned_store_read` and letting
+    cross-batch duplicates through — and compaction would then rewrite
+    the directory as ``pfx=7``, permanently desynchronizing the layout
+    from the computed string prefixes."""
+    return F.concat(F.lit("p"),
+                    F.substring_index(col, ":", 1),
+                    F.substring(F.substring_index(col, ":", -1), 1, 1))
 
 
 def pruned_store_read(spark: SparkSession, bucket_store: str,
@@ -200,8 +210,10 @@ def stream_near_dedup(
     distinct()ed the ENTIRE store every batch, so per-batch cost grew
     with stream lifetime):
 
-    - the store is hash-prefix partitioned (``pfx=`` = band digit +
-      first bucket hex char, bands×16 dirs); each batch reads only the
+    - the store is hash-prefix partitioned (``pfx=`` = ``'p'`` + band +
+      first bucket hex char, bands×16 dirs, non-numeric by construction
+      so partition-type inference cannot coerce it); each batch reads
+      only the
       partitions its own buckets land in (:func:`pruned_store_read`),
     - no store-side distinct — join duplicates collapse in the
       existing doc_id-distinct, saving a store-wide shuffle,

@@ -319,3 +319,47 @@ def test_near_dedup_store_pruned_and_compacted(spark, tmp_path):
     for p in Path(store).rglob("*.parquet"):
         per_dir[p.parent.name] += 1
     assert per_dir and all(v == 1 for v in per_dir.values()), per_dir
+
+
+def test_bucket_pfx_survives_type_inference_and_wide_bands(spark, tmp_path):
+    """ADVICE r4: an all-digit pfx population ('07', ...) used to be
+    read back through partition-column type inference as int, silently
+    defeating the string isin prune (cross-batch dupes pass) and
+    desynchronizing compaction's directory layout.  The pfx is now
+    non-numeric by construction ('p' + band + hex char) and derived by
+    splitting on the bucket's ':' so bands >= 10 keep distinct,
+    non-colliding prefixes."""
+    from pyspark.sql import functions as F
+
+    from html_qt_spark.streaming.dedup_stream import (
+        _bucket_pfx,
+        compact_bucket_store,
+        pruned_store_read,
+    )
+
+    # multi-digit band + digit-only hash prefix: the worst case
+    rows = [("0:7fc1",), ("0:07aa",), ("12:abcd",), ("12:9bcd",),
+            ("3:00ff",)]
+    df = spark.createDataFrame(rows, ["bucket"])
+    got = {r.bucket: r.pfx for r in
+           df.select("bucket", _bucket_pfx(F.col("bucket")).alias("pfx"))
+           .collect()}
+    assert got == {"0:7fc1": "p07", "0:07aa": "p00", "12:abcd": "p12a",
+                   "12:9bcd": "p129", "3:00ff": "p30"}
+
+    # write a store whose every pfx is digit-heavy; read back and prune
+    store = str(tmp_path / "store")
+    (df.select("bucket", _bucket_pfx(F.col("bucket")).alias("pfx"))
+     .write.mode("append").partitionBy("pfx").parquet(store))
+    back = pruned_store_read(spark, store, ["p07"])
+    assert dict(back.dtypes)["pfx"] == "string"
+    assert [r.bucket for r in back.collect()] == ["0:7fc1"]
+    # compaction keeps the same string directory names
+    compact_bucket_store(spark, store)
+    dirs = sorted(p.name for p in Path(store).iterdir()
+                  if p.name.startswith("pfx="))
+    assert dirs == ["pfx=p00", "pfx=p07", "pfx=p129", "pfx=p12a",
+                    "pfx=p30"]
+    assert [r.bucket for r in
+            pruned_store_read(spark, store, ["p07"]).collect()] == \
+        ["0:7fc1"]
