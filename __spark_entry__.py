@@ -588,16 +588,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                       min_docs=2)
 
     def q_shard_manifest(spark, sf):
-        # trainer dataloader manifest over the packed shards (r4):
-        # per shard, doc ids in pack order + exclusive token offsets
+        # trainer dataloader manifest over the packed shards, exploded
+        # to one scalar row per packed doc (r5): the r4 array-valued
+        # form crashed the driver canonicalizer (pandas cannot sort
+        # list cells); the array API stays in the library
+        # (curation.shard_manifest), this row form is what the driver
+        # hash-checks
         from html_qt_spark.operators.curation import (
             pack_shards,
-            shard_manifest,
+            shard_manifest_rows,
         )
         packed = pack_shards(
             textstats.token_count(_docs(spark, sf)),
             token_budget=512)
-        return shard_manifest(packed)
+        return shard_manifest_rows(packed)
 
     def q_bpe_merges(spark, sf):
         # distributed BPE tokenizer training (r4): data-dependent
@@ -1297,7 +1301,7 @@ def oracle_sql() -> dict[str, str]:
         "bigram_logprob": _BIGRAM_ORACLE,
         "semantic_dedup": "WITH pri AS (SELECT vec_id, embedding, ('0x' || substr(md5('ivf:' || CAST(vec_id AS STRING)), 1, 8))::BIGINT AS p FROM embeddings), cents AS (SELECT vec_id AS centroid_id, embedding AS c_emb FROM pri ORDER BY p, vec_id LIMIT 8), sims AS (SELECT e.vec_id, c.centroid_id, list_cosine_similarity(e.embedding::DOUBLE[], c.c_emb::DOUBLE[]) AS sim FROM embeddings e, cents c), assign AS (SELECT vec_id, centroid_id AS list_id FROM (SELECT vec_id, centroid_id, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id DESC) AS rn FROM sims) WHERE rn = 1), e AS (SELECT a.vec_id, a.list_id, b.embedding FROM assign a JOIN embeddings b USING (vec_id)), dropped AS (SELECT DISTINCT b.vec_id FROM e a JOIN e b ON a.list_id = b.list_id AND a.vec_id < b.vec_id WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.4) SELECT a.vec_id, a.list_id, d.vec_id IS NULL AS keep FROM assign a LEFT JOIN dropped d USING (vec_id)",
         "classifier_score": "WITH w AS (SELECT i, (('0x' || substr(md5('w:' || CAST(i AS STRING)), 1, 8))::BIGINT % 2000 - 1000) / 1000.0 AS wt FROM range(0, 1024) t(i)), ts AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents), tok AS (SELECT doc_id, unnest(toks) AS t FROM ts), b AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 8))::BIGINT % 1024 AS i FROM tok), s AS (SELECT doc_id, sum(w.wt) AS tot, count(*) AS n FROM b JOIN w USING (i) GROUP BY doc_id) SELECT d.doc_id, CAST(coalesce(s.n, 0) AS BIGINT) AS n_tokens, CASE WHEN s.n > 0 THEN CAST(floor(round(s.tot / s.n, 6) * 1000) AS BIGINT) END AS score_x1000 FROM documents d LEFT JOIN s USING (doc_id)",
-        "mask_runs": "WITH ts AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents), gr AS (SELECT doc_id, i - 1 AS pos, md5(array_to_string(toks[i:i+7], chr(0))) AS g FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 8 + 2)) AS i FROM ts WHERE len(toks) >= 8)), dup AS (SELECT g FROM gr GROUP BY g HAVING count(DISTINCT doc_id) >= 2), hits AS (SELECT doc_id, list(pos ORDER BY pos) AS hs FROM gr JOIN dup USING (g) GROUP BY doc_id), j AS (SELECT t.doc_id, t.toks, coalesce(h.hs, CAST([] AS BIGINT[])) AS hs FROM ts t LEFT JOIN hits h USING (doc_id)), k AS (SELECT doc_id, toks, list_filter(range(0, len(toks)), i -> len(list_filter(hs, h -> h <= i AND i < h + 8)) = 0) AS keep FROM j) SELECT doc_id, coalesce(array_to_string(list_transform(keep, i -> toks[CAST(i + 1 AS INT)]), ' '), '') AS clean_text, CAST(len(toks) - len(keep) AS BIGINT) AS n_tokens_masked FROM k",
+        "mask_runs": "WITH ts AS (SELECT doc_id, list_filter(string_split(coalesce(text, ''), ' '), x -> x <> '') AS toks FROM documents), gr AS (SELECT doc_id, i - 1 AS pos, md5(array_to_string(toks[i:i+7], chr(0))) AS g FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 8 + 2)) AS i FROM ts WHERE len(toks) >= 8)), dup AS (SELECT g FROM gr GROUP BY g HAVING count(DISTINCT doc_id) >= 2), hits AS (SELECT doc_id, list(pos ORDER BY pos) AS hs FROM gr JOIN dup USING (g) GROUP BY doc_id), j AS (SELECT t.doc_id, t.toks, coalesce(h.hs, CAST([] AS BIGINT[])) AS hs FROM ts t LEFT JOIN hits h USING (doc_id)), k AS (SELECT doc_id, toks, list_filter(range(0, len(toks)), i -> len(list_filter(hs, h -> h <= i AND i < h + 8)) = 0) AS keep FROM j) SELECT doc_id, coalesce(array_to_string(list_transform(keep, i -> toks[CAST(i + 1 AS INT)]), ' '), '') AS clean_text, CAST(len(toks) - len(keep) AS BIGINT) AS n_tokens_masked FROM k",
         "shard_manifest": (
             "WITH tc AS (SELECT doc_id, "
             "len(list_filter(string_split(text, ' '), x -> x <> '')) "
@@ -1305,19 +1309,15 @@ def oracle_sql() -> dict[str, str]:
             "packed AS (SELECT doc_id, n_tokens, "
             "CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id "
             "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
-            "// 512 AS BIGINT) AS shard_id, "
-            "coalesce(sum(n_tokens) OVER (ORDER BY doc_id "
-            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
-            "AS cumb FROM tc), "
-            "offs AS (SELECT doc_id, n_tokens, shard_id, "
-            "coalesce(sum(n_tokens) OVER (PARTITION BY shard_id "
+            "// 512 AS BIGINT) AS shard_id FROM tc) "
+            "SELECT shard_id, "
+            "CAST(row_number() OVER (PARTITION BY shard_id "
+            "ORDER BY doc_id) - 1 AS INT) AS pack_pos, "
+            "doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, "
+            "CAST(coalesce(sum(n_tokens) OVER (PARTITION BY shard_id "
             "ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND "
-            "1 PRECEDING), 0) AS off FROM packed) "
-            "SELECT shard_id, CAST(count(*) AS INT) AS n_docs, "
-            "CAST(sum(n_tokens) AS BIGINT) AS total_tokens, "
-            "list(doc_id ORDER BY doc_id) AS doc_ids, "
-            "list(CAST(off AS BIGINT) ORDER BY doc_id) AS offsets "
-            "FROM offs GROUP BY shard_id"),
+            "1 PRECEDING), 0) AS BIGINT) AS token_offset "
+            "FROM packed"),
         "chunk_subword": _CHUNK_SUBWORD_ORACLE,
         "media_captions": oracle_cte(
             'SELECT doc_id, "offset", media_ref, caption_before, '

@@ -323,3 +323,37 @@ def shard_manifest(packed: DataFrame, *, tokens_col: str = "n_tokens",
                     F.transform("dt", lambda s: s[id_col])
                     .alias("doc_ids"),
                     offs.alias("offsets")))
+
+
+def shard_manifest_rows(packed: DataFrame, *,
+                        tokens_col: str = "n_tokens",
+                        id_col: str = "doc_id",
+                        partition_cols: list[str] | None = None
+                        ) -> DataFrame:
+    """:func:`shard_manifest` exploded to one scalar row per packed
+    document: (partition_cols..., shard_id, pack_pos, doc_id, n_tokens,
+    token_offset).  pack_pos is the document's 0-based position in its
+    shard's fill order (``id_col`` ascending — identical to
+    :func:`pack_shards`); token_offset is the exclusive prefix sum of
+    tokens before it in the shard, so a sequence-packing reader can
+    rebuild document boundaries without re-scanning text.
+
+    Same single hash Exchange on the shard key as the array-valued
+    manifest, but via two window functions over one sort instead of a
+    collect_list + fold — no array columns anywhere, so downstream
+    sorts/compares (including the driver's pandas canonicalizer, which
+    cannot hash list cells) handle it natively.  The array-valued
+    :func:`shard_manifest` remains the dataloader-facing API.
+    """
+    keys = list(partition_cols or []) + ["shard_id"]
+    w_ord = Window.partitionBy(*keys).orderBy(id_col)
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    return (packed
+            .withColumn("pack_pos",
+                        (F.row_number().over(w_ord) - 1).cast("int"))
+            .withColumn("token_offset",
+                        F.coalesce(F.sum(tokens_col).over(w_cum),
+                                   F.lit(0)).cast("long"))
+            .select(*keys, "pack_pos", id_col,
+                    F.col(tokens_col).cast("long").alias("n_tokens"),
+                    "token_offset"))

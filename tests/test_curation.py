@@ -308,3 +308,49 @@ def test_shard_manifest_single_exchange_plan(spark):
         ._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") <= 1, plan
     assert "Join" not in plan, plan
+
+
+def test_shard_manifest_rows_matches_array_manifest(spark):
+    """The scalar row form (driver-checkable: no array columns) must be
+    exactly the array manifest exploded — same docs, same pack order,
+    same exclusive token offsets — and keep the one-exchange plan."""
+    from html_qt_spark.operators.curation import (
+        pack_shards,
+        shard_manifest,
+        shard_manifest_rows,
+    )
+
+    rows = [(i, 10 + (i * 7) % 23) for i in range(40)]
+    docs = spark.createDataFrame(rows, ["doc_id", "n_tokens"])
+    packed = pack_shards(docs, token_budget=60)
+    want = set()
+    for r in shard_manifest(packed).collect():
+        for pos, (d, o) in enumerate(zip(r.doc_ids, r.offsets)):
+            want.add((r.shard_id, pos, d, o))
+    got = {(r.shard_id, r.pack_pos, r.doc_id, r.token_offset)
+           for r in shard_manifest_rows(packed).collect()}
+    assert got == want
+    plan = shard_manifest_rows(packed) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
+    assert "Join" not in plan, plan
+
+    # partitioned variant: manifest keys include the partition column
+    pdocs = spark.createDataFrame(
+        [(i, 10, "ab"[i % 2]) for i in range(20)],
+        ["doc_id", "n_tokens", "lang"])
+    ppacked = pack_shards(pdocs, token_budget=25,
+                          partition_cols=["lang"])
+    prows = shard_manifest_rows(ppacked, partition_cols=["lang"]) \
+        .collect()
+    assert {(r.lang, r.shard_id, r.pack_pos) for r in prows} == \
+        {(r.lang, r.shard_id, r.pack_pos) for r in prows}
+    for lang in ("a", "b"):
+        sub = sorted((r for r in prows if r.lang == lang),
+                     key=lambda r: (r.shard_id, r.pack_pos))
+        off = 0
+        for r in sub:
+            if r.pack_pos == 0:
+                off = 0
+            assert r.token_offset == off
+            off += r.n_tokens
