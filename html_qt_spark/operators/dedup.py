@@ -469,11 +469,14 @@ def mask_common_runs(docs: DataFrame, *, n: int = 10,
     Zipf-bounded gram table), join hits back (no forced broadcast —
     the dup-gram table can be large), collect hit START positions per
     doc (second doc-keyed shuffle), then rebuild each document row-
-    locally: token i survives iff no hit start h satisfies
-    h <= i < h+n (an ``exists`` probe per token over the per-doc hit
-    array — fine while per-doc hits are bounded; a pathological doc
-    that is ENTIRELY quoted material degrades to O(tokens·hits),
-    which an interval-merge pre-pass would cap at scale).
+    locally: the sorted hit starts are first collapsed into DISJOINT
+    mask intervals [h, h+n) (one linear fold over the hit array —
+    overlapping/adjacent hits merge), then token i survives iff no
+    interval contains it.  The per-token probe runs over the merged
+    intervals, whose count is the number of distinct masked RUNS, not
+    hits — a pathological doc that is ENTIRELY quoted material
+    collapses to ONE interval and rebuilds in O(tokens), where probing
+    the raw hit list would cost O(tokens·hits).
     Returns (id_col, clean_text, n_tokens_masked).
     """
     toks_arr = F.filter(
@@ -503,12 +506,29 @@ def mask_common_runs(docs: DataFrame, *, n: int = 10,
     joined = base.join(hits, id_col, "left")
     hits_arr = F.coalesce(F.col("_hits"),
                           F.array().cast("array<int>"))
+    # interval-merge pre-pass: hits are sorted ascending and all spans
+    # have length n, so ends are monotone — a new hit either extends
+    # the last interval (h <= last.e) or opens a fresh one
+    ivs = F.aggregate(
+        hits_arr,
+        F.array().cast("array<struct<s:int,e:int>>"),
+        lambda acc, h: F.when(
+            (F.size(acc) > 0) & (h <= F.element_at(acc, -1)["e"]),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(F.struct(
+                    F.element_at(acc, -1)["s"].alias("s"),
+                    (h + n).cast("int").alias("e")))))
+        .otherwise(F.concat(acc, F.array(F.struct(
+            h.cast("int").alias("s"),
+            (h + n).cast("int").alias("e"))))))
     keep = F.filter(
         F.transform("_ts",
                     lambda t, i: F.struct(t.alias("t"),
                                           i.cast("int").alias("i"))),
-        lambda s: ~F.exists(hits_arr,
-                            lambda h: (h <= s["i"]) & (s["i"] < h + n)))
+        lambda s: ~F.exists(ivs,
+                            lambda iv: (iv["s"] <= s["i"])
+                            & (s["i"] < iv["e"])))
     return joined.select(
         id_col,
         F.concat_ws(" ", F.transform(keep, lambda s: s["t"]))

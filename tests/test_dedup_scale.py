@@ -224,3 +224,30 @@ def test_mask_common_runs_no_forced_broadcast(spark):
     before_aqe = mask_common_runs(docs, n=5)._jdf.queryExecution() \
         .optimizedPlan().toString()
     assert "broadcast" not in before_aqe.lower(), before_aqe
+
+
+def test_mask_common_runs_interval_merge_on_fully_quoted_doc(spark):
+    """r5: the rebuild probes MERGED disjoint intervals, not raw hit
+    starts.  A large fully-duplicated doc (every position is a hit
+    start -> one interval after the merge) must mask completely, and a
+    doc with two separated shared runs must mask exactly those two
+    intervals, keeping the gap text."""
+    from html_qt_spark.operators.dedup import mask_common_runs
+
+    # 400-token doc duplicated verbatim: ~396 overlapping hits/doc
+    big = " ".join(f"w{i}" for i in range(400))
+    gap_a = " ".join(f"u{i}" for i in range(6))
+    run1 = "r one two three four"
+    run2 = "s five six seven eight"
+    rows = [
+        (1, big),
+        (2, big),
+        (3, f"{run1} {gap_a} {run2}"),
+        (4, f"{run1} zz yy xx ww vv {run2}"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: (r.clean_text, r.n_tokens_masked)
+           for r in mask_common_runs(docs, n=5, min_docs=2).collect()}
+    assert got[1] == ("", 400) and got[2] == ("", 400)
+    assert got[3] == (gap_a, 10)
+    assert got[4] == ("zz yy xx ww vv", 10)
