@@ -574,6 +574,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _emb(spark, sf), n_centroids=8, threshold=0.4,
             hash_fn="md5_32")
 
+    def q_semantic_dedup_star(spark, sf):
+        # r5: hot-list cap engaged — lists over max_list_size degrade
+        # to the linear hub-star pass (cap=40 < the ~62-vector average
+        # list at sf0.01, so BOTH the quadratic and star paths run and
+        # the oracle replicates the exact hub-star semantics)
+        return similarity.semantic_dedup(
+            _emb(spark, sf), n_centroids=8, threshold=0.4,
+            max_list_size=40, hash_fn="md5_32")
+
     def q_classifier_score(spark, sf):
         # hashed linear quality-classifier application (r4): md5_32
         # buckets + md5-seeded stand-in weights, both recomputed by
@@ -665,6 +674,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_subword": q_chunk_subword,
         "classifier_score": q_classifier_score,
         "semantic_dedup": q_semantic_dedup,
+        "semantic_dedup_star": q_semantic_dedup_star,
         "mask_runs": q_mask_runs,
         "shard_manifest": q_shard_manifest,
         "bpe_merges": q_bpe_merges,
@@ -1300,6 +1310,7 @@ def oracle_sql() -> dict[str, str]:
         "subword_tokens": _SUBWORD_ORACLE,
         "bigram_logprob": _BIGRAM_ORACLE,
         "semantic_dedup": "WITH pri AS (SELECT vec_id, embedding, ('0x' || substr(md5('ivf:' || CAST(vec_id AS STRING)), 1, 8))::BIGINT AS p FROM embeddings), cents AS (SELECT vec_id AS centroid_id, embedding AS c_emb FROM pri ORDER BY p, vec_id LIMIT 8), sims AS (SELECT e.vec_id, c.centroid_id, list_cosine_similarity(e.embedding::DOUBLE[], c.c_emb::DOUBLE[]) AS sim FROM embeddings e, cents c), assign AS (SELECT vec_id, centroid_id AS list_id FROM (SELECT vec_id, centroid_id, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id DESC) AS rn FROM sims) WHERE rn = 1), e AS (SELECT a.vec_id, a.list_id, b.embedding FROM assign a JOIN embeddings b USING (vec_id)), dropped AS (SELECT DISTINCT b.vec_id FROM e a JOIN e b ON a.list_id = b.list_id AND a.vec_id < b.vec_id WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.4) SELECT a.vec_id, a.list_id, d.vec_id IS NULL AS keep FROM assign a LEFT JOIN dropped d USING (vec_id)",
+        "semantic_dedup_star": "WITH pri AS (SELECT vec_id, embedding, ('0x' || substr(md5('ivf:' || CAST(vec_id AS STRING)), 1, 8))::BIGINT AS p FROM embeddings), cents AS (SELECT vec_id AS centroid_id, embedding AS c_emb FROM pri ORDER BY p, vec_id LIMIT 8), sims AS (SELECT e.vec_id, c.centroid_id, list_cosine_similarity(e.embedding::DOUBLE[], c.c_emb::DOUBLE[]) AS sim FROM embeddings e, cents c), assign AS (SELECT vec_id, centroid_id AS list_id FROM (SELECT vec_id, centroid_id, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id DESC) AS rn FROM sims) WHERE rn = 1), e AS (SELECT a.vec_id, a.list_id, b.embedding FROM assign a JOIN embeddings b USING (vec_id)), ann AS (SELECT vec_id, list_id, embedding, count(*) OVER (PARTITION BY list_id) AS n, min(vec_id) OVER (PARTITION BY list_id) AS hub FROM e), dropped AS (SELECT DISTINCT b.vec_id FROM ann a JOIN ann b ON a.list_id = b.list_id AND a.vec_id < b.vec_id WHERE (a.n <= 40 OR a.vec_id = a.hub) AND round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.4) SELECT a.vec_id, a.list_id, d.vec_id IS NULL AS keep FROM assign a LEFT JOIN dropped d USING (vec_id)",
         "classifier_score": "WITH w AS (SELECT i, (('0x' || substr(md5('w:' || CAST(i AS STRING)), 1, 8))::BIGINT % 2000 - 1000) / 1000.0 AS wt FROM range(0, 1024) t(i)), ts AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents), tok AS (SELECT doc_id, unnest(toks) AS t FROM ts), b AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 8))::BIGINT % 1024 AS i FROM tok), s AS (SELECT doc_id, sum(w.wt) AS tot, count(*) AS n FROM b JOIN w USING (i) GROUP BY doc_id) SELECT d.doc_id, CAST(coalesce(s.n, 0) AS BIGINT) AS n_tokens, CASE WHEN s.n > 0 THEN CAST(floor(round(s.tot / s.n, 6) * 1000) AS BIGINT) END AS score_x1000 FROM documents d LEFT JOIN s USING (doc_id)",
         "mask_runs": "WITH ts AS (SELECT doc_id, list_filter(string_split(coalesce(text, ''), ' '), x -> x <> '') AS toks FROM documents), gr AS (SELECT doc_id, i - 1 AS pos, md5(array_to_string(toks[i:i+7], chr(0))) AS g FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 8 + 2)) AS i FROM ts WHERE len(toks) >= 8)), dup AS (SELECT g FROM gr GROUP BY g HAVING count(DISTINCT doc_id) >= 2), hits AS (SELECT doc_id, list(pos ORDER BY pos) AS hs FROM gr JOIN dup USING (g) GROUP BY doc_id), j AS (SELECT t.doc_id, t.toks, coalesce(h.hs, CAST([] AS BIGINT[])) AS hs FROM ts t LEFT JOIN hits h USING (doc_id)), k AS (SELECT doc_id, toks, list_filter(range(0, len(toks)), i -> len(list_filter(hs, h -> h <= i AND i < h + 8)) = 0) AS keep FROM j) SELECT doc_id, coalesce(array_to_string(list_transform(keep, i -> toks[CAST(i + 1 AS INT)]), ' '), '') AS clean_text, CAST(len(toks) - len(keep) AS BIGINT) AS n_tokens_masked FROM k",
         "shard_manifest": (

@@ -11,7 +11,7 @@ array<float>, label).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -495,6 +495,7 @@ def ann_lsh_topk(embeddings: DataFrame, query_vec_id: int = 0,
 def semantic_dedup(embeddings: DataFrame, *, n_centroids: int = 64,
                    threshold: float = 0.95, trained: bool = False,
                    n_iter: int = 1, salt: str = "ivf",
+                   max_list_size: int = 10_000,
                    hash_fn: str = "xxhash64") -> DataFrame:
     """SemDeDup (Abbas et al. 2023): semantic near-duplicate pruning by
     clustering embeddings and comparing pairs ONLY within a cluster —
@@ -504,12 +505,25 @@ def semantic_dedup(embeddings: DataFrame, *, n_centroids: int = 64,
     Composition of the existing index ops: coarse-quantize with
     :func:`ivf_centroids` (or :func:`kmeans_centroids` when
     ``trained=True``), assign every vector to one list, self-join each
-    list on its own key (one shuffle on list_id; per-list work is
-    (n/k)² — choose k so lists fit the quadratic budget, exactly the
-    occupancy-control argument from :func:`ivf_topk`), keep a pair
-    when cosine >= threshold, and drop the larger vec_id of each pair
+    list on its own key (one shuffle on list_id), keep a pair when
+    cosine >= threshold, and drop the larger vec_id of each pair
     (min-id-wins, transitively: a vector survives iff NO smaller
     same-cluster vector sits within the threshold).
+
+    Hot-list cap (the ``minhash_lsh_pairs`` pattern): choosing k bounds
+    the AVERAGE list at n/k, but at corpus scale the embedding mass of
+    near-empty/boilerplate docs collapses into one centroid and that
+    list goes quadratic regardless of k.  A list larger than
+    ``max_list_size`` therefore degrades to a linear HUB-STAR pass:
+    only the list's min vec_id (the hub — the vector min-id-wins could
+    never drop) compares against the members, so a mega-list of m
+    vectors costs m-1 cosines instead of C(m,2).  For the degenerate
+    cluster that motivates the cap (all members near-identical) the
+    keep-set is unchanged — every member is within threshold of the
+    hub, so all but the hub drop, exactly the uncapped outcome.  The
+    list size + hub come from ONE count/min window over the same
+    list_id partitioning the join shuffles on, so the cap adds no
+    exchange.
 
     Returns (vec_id, list_id, keep) for every input vector — the
     decision table; filter ``keep`` to materialize the pruned corpus.
@@ -523,16 +537,36 @@ def semantic_dedup(embeddings: DataFrame, *, n_centroids: int = 64,
                               salt=salt, hash_fn=hash_fn)
     assign = ivf_assign(embeddings, cents)
     e = embeddings.join(assign, "vec_id")
-    a = e.alias("a")
-    b = e.alias("b")
-    cos = _cos_d(F.col("a.embedding"), F.col("b.embedding"))
-    dropped = (a.join(b, "list_id")
-               .where(F.col("a.vec_id") < F.col("b.vec_id"))
-               .where(F.round(cos, 6) >= threshold)
-               .select(F.col("b.vec_id").alias("vec_id"))
+    dropped = (_semantic_candidate_pairs(e, max_list_size)
+               .where(F.round(_cos_d(F.col("a_emb"), F.col("b_emb")),
+                              6) >= threshold)
+               .select(F.col("b_vec").alias("vec_id"))
                .distinct())
     return (assign
             .join(dropped.withColumn("_d", F.lit(True)),
                   "vec_id", "left")
             .select("vec_id", "list_id",
                     F.coalesce(~F.col("_d"), F.lit(True)).alias("keep")))
+
+
+def _semantic_candidate_pairs(e: DataFrame,
+                              max_list_size: int) -> DataFrame:
+    """In-list candidate pairs for :func:`semantic_dedup`: full a<b
+    self-join for lists within ``max_list_size``, hub-star (min vec_id
+    → every member) for lists over it.  Split out so tests can assert
+    the pair count stays linear on a degenerate mega-list.  Returns
+    (list_id, a_vec, a_emb, b_vec, b_emb)."""
+    w_list = Window.partitionBy("list_id")
+    annotated = (e
+                 .withColumn("_n", F.count("*").over(w_list))
+                 .withColumn("_hub", F.min("vec_id").over(w_list)))
+    left = (annotated
+            .where((F.col("_n") <= max_list_size)
+                   | (F.col("vec_id") == F.col("_hub")))
+            .select("list_id", F.col("vec_id").alias("a_vec"),
+                    F.col("embedding").alias("a_emb")))
+    right = annotated.select("list_id",
+                             F.col("vec_id").alias("b_vec"),
+                             F.col("embedding").alias("b_emb"))
+    return (left.join(right, "list_id")
+            .where(F.col("a_vec") < F.col("b_vec")))

@@ -394,3 +394,48 @@ def test_semantic_dedup_prunes_planted_clusters(spark):
     plan = semantic_dedup(all_emb, n_centroids=6, threshold=0.98) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, plan
+
+
+def test_semantic_dedup_hot_list_cap_star_fallback(spark):
+    """r5 (VERDICT r4 #3): a degenerate cluster 10x over the list cap
+    (boilerplate embeddings all collapsing into one centroid) must cost
+    a LINEAR hub-star pass — m-1 candidate pairs, not C(m,2) — while
+    the keep-set stays exactly the uncapped min-id-wins outcome (every
+    member is within threshold of the hub, so all but the hub drop
+    either way).  Under-cap background lists keep the full quadratic
+    comparison."""
+    from pyspark.sql import functions as F
+
+    from html_qt_spark.operators.similarity import (
+        _semantic_candidate_pairs,
+        ivf_assign,
+        ivf_centroids,
+        semantic_dedup,
+    )
+
+    cap = 20
+    m = 10 * cap  # degenerate cluster size
+    center = _pseudo(777)
+    dup = [(i, center) for i in range(m)]
+    bg = [(10_000 + i, _pseudo(5000 + i)) for i in range(12)]
+    emb = spark.createDataFrame(dup + bg, ["vec_id", "embedding"])
+
+    capped = {r.vec_id: r.keep
+              for r in semantic_dedup(emb, n_centroids=4,
+                                      threshold=0.95,
+                                      max_list_size=cap).collect()}
+    uncapped = {r.vec_id: r.keep
+                for r in semantic_dedup(emb, n_centroids=4,
+                                        threshold=0.95).collect()}
+    assert capped == uncapped
+    assert capped[0] and not any(capped[i] for i in range(1, m))
+    assert all(capped[10_000 + i] for i in range(12))
+
+    # pair-count bound: the degenerate list contributes m-1 star pairs
+    cents = ivf_centroids(emb, n_centroids=4)
+    e = emb.join(ivf_assign(emb, cents), "vec_id")
+    pairs = _semantic_candidate_pairs(e, cap)
+    dup_pairs = pairs.where(F.col("a_vec") < m).where(F.col("b_vec") < m)
+    assert dup_pairs.count() == m - 1
+    # and they are exactly the hub's star
+    assert set(r.a_vec for r in dup_pairs.collect()) == {0}
