@@ -619,6 +619,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # merge-for-merge against the classic reference in pytest
         return textstats.bpe_train(_docs(spark, sf), n_merges=12)
 
+    def q_bpe_apply(spark, sf):
+        # BPE *application* with a fixed merge table (r5): the per-pass
+        # tokenizer hot path, pure codegen (m nested replaces), hashed
+        # piece stream so the oracle pins every boundary
+        return textstats.bpe_apply(_docs(spark, sf))
+
     def q_media_captions(spark, sf):
         # nearest text context per media span (caption pairing, r4)
         return multimodal.media_captions(interleaved_exploded(spark, sf))
@@ -678,6 +684,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mask_runs": q_mask_runs,
         "shard_manifest": q_shard_manifest,
         "bpe_merges": q_bpe_merges,
+        "bpe_apply": q_bpe_apply,
         "media_captions": q_media_captions,
         "ivf_topk_batch": q_ivf_topk_batch,
         # -- extraction flagship + r3-first-green ----------------------
@@ -797,6 +804,32 @@ def _subword_probe(ln: int) -> str:
     sub = f"substr(w, CAST(pos AS INT), {ln})"
     return (f"WHEN list_contains((SELECT v FROM vlist), {sub}) "
             f"AND length({sub}) = {ln} THEN {ln}")
+
+
+def _bpe_apply_oracle() -> str:
+    # generated from the SAME constant merge table the Spark operator
+    # uses, so the m nested replace() calls are literally identical
+    from html_qt_spark.operators.textstats import (
+        _BPE_SEP,
+        BPE_FIXED_MERGES,
+    )
+
+    s = _BPE_SEP
+    expr = f"regexp_replace(w, '(.)', '{s}\\1{s}', 'g')"
+    for left, right in BPE_FIXED_MERGES:
+        expr = (f"replace({expr}, '{s}{left}{s}{s}{right}{s}', "
+                f"'{s}{left}{right}{s}')")
+    return (
+        "WITH ws AS (SELECT doc_id, "
+        "list_filter(string_split(coalesce(text, ''), ' '), "
+        "x -> x <> '') AS words FROM documents), "
+        "tok AS (SELECT doc_id, len(words) AS n_words, "
+        "flatten(list_transform(words, w -> "
+        f"string_split(regexp_replace({expr}, '^{s}|{s}$', '', 'g'), "
+        f"'{s}{s}'))) AS pieces FROM ws) "
+        "SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, "
+        "CAST(len(pieces) AS BIGINT) AS n_pieces, "
+        f"md5(array_to_string(pieces, '{s}')) AS pieces_hash FROM tok")
 
 
 _SUBWORD_ORACLE = (
@@ -1329,6 +1362,7 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND "
             "1 PRECEDING), 0) AS BIGINT) AS token_offset "
             "FROM packed"),
+        "bpe_apply": _bpe_apply_oracle(),
         "chunk_subword": _CHUNK_SUBWORD_ORACLE,
         "media_captions": oracle_cte(
             'SELECT doc_id, "offset", media_ref, caption_before, '

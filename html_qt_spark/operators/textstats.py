@@ -1,9 +1,12 @@
 """Text-analysis operators: language ID, quality scoring, token counting,
 document fingerprinting.  All JVM-side (pyspark.sql.functions, whole-stage
-codegen) — no Python workers in these paths."""
+codegen) — no Python workers in these paths, except the Arrow-batched
+pandas apply inside BPE training (a per-word Python loop over an
+already-Zipf-bounded word-type table, never the corpus)."""
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -600,8 +603,62 @@ def subword_word_counter(vocab: list[str], *, min_len: int = 2,
 
 # ------------------------------------------------------- BPE training
 
+def _select_merge_batch(candidates, guards, vocab, limit):
+    """Driver-side selection of a PROVABLY-sequential-equal batch of
+    merges from one pair-count snapshot (the scan-batching trick that
+    cuts BPE's per-merge corpus scans m-fold without changing a single
+    merge).
+
+    ``candidates``: [(left, right, count)] in classic order (count
+    desc, then (left, right) asc) — exactly the order sequential BPE
+    would pick them.  ``guards``: {(l, r): g} where g is the max
+    corpus count of any trigram having (l, r) as its first or last two
+    pieces — an upper bound on the count of ANY pair the merge (l, r)
+    can CREATE (each created pair (x, lr)/(lr, y) occurrence descends
+    from a pre-merge trigram occurrence).  ``vocab`` is a superset of
+    the piece strings currently in the corpus; it is mutated in place
+    (accepted merged strings are added).
+
+    A candidate is accepted after earlier ones only when sequential
+    BPE would provably still pick it next:
+
+    - its symbols are disjoint from every earlier accepted merge's
+      {left, right, merged} — so its own count is unchanged and it
+      cannot have been consumed;
+    - every earlier accepted merge's guard is STRICTLY below its
+      count — so no pair created by an earlier merge can outrank (or
+      tie) it;
+    - its merged string is brand new to ``vocab`` — otherwise created
+      occurrences would ADD to an existing pair's count, which the
+      guard alone cannot bound; such a merge is accepted but ends the
+      batch.
+
+    Any violation ends the batch (never skips a candidate — skipping
+    would reorder against the sequential algorithm).  Returns the
+    accepted [(left, right, merged)] list, possibly of length 1.
+    """
+    accepted = []
+    for left, right, count in candidates:
+        if accepted:
+            used = set()
+            for al, ar, am in accepted:
+                used.update((al, ar, am))
+            if left in used or right in used:
+                break
+            if any(guards.get((al, ar), 0) >= count
+                   for al, ar, am in accepted):
+                break
+        merged = left + right
+        pre_existing = merged in vocab
+        accepted.append((left, right, merged))
+        vocab.add(merged)
+        if pre_existing or len(accepted) >= limit:
+            break
+    return accepted
+
+
 def bpe_train(docs: DataFrame, *, n_merges: int = 50,
-              text_col: str = "text") -> DataFrame:
+              text_col: str = "text", batch_m: int = 16) -> DataFrame:
     """Learn byte-pair-encoding merges from the corpus — the tokenizer-
     TRAINING step a pre-training pipeline runs before counting/packing
     (the greedy counters in :func:`subword_token_count` consume the
@@ -614,19 +671,30 @@ def bpe_train(docs: DataFrame, *, n_merges: int = 50,
     are never crossed.
 
     Distribution: the working set is the WORD-TYPE table (Zipf-bounded,
-    vastly sub-corpus — "the" is one row with count n).  Each round is
-    one explode+groupBy pair count (map-side combined) and ONE 1-row
-    collect of the argmax (control-plane, same class as the components
-    loop's convergence count), then a narrow per-row merge apply
-    (aggregate over the piece array, left-to-right non-overlapping) —
-    no corpus pass after the initial word count; ``localCheckpoint``
-    per round cuts the iterative lineage.  Rounds are sequential by
-    nature (merge i+1's counts depend on merge i) — this is the
-    standard parallel-BPE layout (count distributed, argmax central).
+    vastly sub-corpus — "the" is one row with count n).  Per ROUND (not
+    per merge): (1) one pair-count agg + a top-K collect (K = 4 x
+    ``batch_m``, bounded), (2) one trigram-guard agg restricted to the
+    K candidate pairs (collect <= K rows), (3) driver-side selection of
+    up to ``batch_m`` merges that are PROVABLY identical to what
+    sequential BPE would pick from this snapshot
+    (:func:`_select_merge_batch` — symbol-disjointness + a trigram
+    upper bound on every pair a merge can create), then (4) ONE
+    Arrow-batched pandas apply of the whole accepted batch per word
+    (left-to-right non-overlapping, in rank order) + localCheckpoint to
+    cut the iterative lineage.  A 50k-merge vocab therefore costs
+    ~50k/batch_m corpus-table scans and driver round-trips instead of
+    50k of each, with bit-identical output — the scan-batching half of
+    the standard parallel-BPE layout (count distributed, argmax
+    central).
 
-    Returns the merge table (rank:int, left, right, merged) — rank is
-    application order.  Stops early when no pair occurs twice.
+    Words fully merged to one piece are dropped from the working table
+    (no pairs left to contribute), so the table shrinks as training
+    converges.  Returns the merge table (rank:int, left, right,
+    merged) — rank is application order.  Stops early when no pair
+    occurs twice.
     """
+    from pyspark.sql import types as T
+
     chars = F.transform(
         F.sequence(F.lit(1), F.length("w")),
         lambda i: F.substring(F.col("w"), i, 1))
@@ -636,53 +704,97 @@ def bpe_train(docs: DataFrame, *, n_merges: int = 50,
                  .alias("w"))
              .groupBy("w").agg(F.count("*").alias("n"))
              .select(chars.alias("p"), "n")
+             .where(F.size("p") >= 2)
              .localCheckpoint())
 
+    # piece-string superset for the merged-string-collision check:
+    # distinct single chars now, plus every merged string we create
+    vocab = {r.c for r in
+             words.select(F.explode("p").alias("c")).distinct()
+             .collect()}
+
     merges: list[tuple[int, str, str, str]] = []
-    for rank in range(n_merges):
+    while len(merges) < n_merges:
         sz = F.size("p")
         pair_col = F.arrays_zip(F.slice("p", 1, sz - 1),
                                 F.slice("p", 2, sz - 1))
+        top_k = 4 * batch_m
         top = (words
-               .where(sz >= 2)
                .select(F.explode(pair_col).alias("pr"), "n")
                .groupBy(F.col("pr.0").alias("l"),
                         F.col("pr.1").alias("r"))
                .agg(F.sum("n").alias("c"))
                .where(F.col("c") >= 2)
                .orderBy(F.col("c").desc(), "l", "r")
-               .limit(1)
+               .limit(top_k)
                .collect())
         if not top:
             break
-        left, right = top[0].l, top[0].r
-        merged = left + right
-        merges.append((rank, left, right, merged))
-        # left-to-right non-overlapping merge apply, per word row:
-        # state = (out pieces, skip flag set when i and i+1 merged)
-        p = F.col("p")
-        new_p = F.aggregate(
-            F.sequence(F.lit(0), F.size(p) - 1),
-            F.struct(F.array().cast("array<string>").alias("out"),
-                     F.lit(False).alias("skip")),
-            lambda acc, i: F.when(acc["skip"], F.struct(
-                acc["out"].alias("out"), F.lit(False).alias("skip")))
-            .when((i < F.size(p) - 1)
-                  & (F.element_at(p, i + 1) == F.lit(left))
-                  & (F.element_at(p, i + 2) == F.lit(right)),
-                  F.struct(F.concat(acc["out"],
-                                    F.array(F.lit(merged))).alias("out"),
-                           F.lit(True).alias("skip")))
-            .otherwise(F.struct(
-                F.concat(acc["out"],
-                         F.array(F.element_at(p, i + 1))).alias("out"),
-                F.lit(False).alias("skip"))),
-            lambda acc: acc["out"])
-        words = words.select(new_p.alias("p"), "n").localCheckpoint()
+        candidates = [(row.l, row.r, row.c) for row in top]
+        guards: dict[tuple[str, str], int] = {}
+        if len(candidates) > 1:
+            # trigram guard: for each candidate pair, the max count of
+            # any trigram carrying it as prefix or suffix — the bound
+            # on every pair the merge can create.  One filtered agg;
+            # the isin pushes the K-key filter into the explode scan.
+            sep = "\x00"
+            keys = [l + sep + r for l, r, _ in candidates]
+            tri_col = F.arrays_zip(F.slice("p", 1, sz - 2),
+                                   F.slice("p", 2, sz - 2),
+                                   F.slice("p", 3, sz - 2))
+            tri = (words
+                   .where(sz >= 3)
+                   .select(F.explode(tri_col).alias("tr"), "n")
+                   .select(F.col("tr.0").alias("x"),
+                           F.col("tr.1").alias("y"),
+                           F.col("tr.2").alias("z"), "n"))
+            k_pre = F.concat_ws(sep, "y", "z")
+            k_post = F.concat_ws(sep, "x", "y")
+            both = (tri
+                    .where(k_pre.isin(keys) | k_post.isin(keys))
+                    .groupBy("x", "y", "z").agg(F.sum("n").alias("c"))
+                    .select(F.explode(F.array(
+                        F.concat_ws(sep, "y", "z").alias("k"),
+                        F.concat_ws(sep, "x", "y").alias("k")))
+                        .alias("k"), "c")
+                    .where(F.col("k").isin(keys))
+                    .groupBy("k").agg(F.max("c").alias("g"))
+                    .collect())
+            for row in both:
+                l, r = row.k.split(sep)
+                guards[(l, r)] = row.g
+        accepted = _select_merge_batch(
+            candidates, guards, vocab, n_merges - len(merges))
+        for left, right, merged in accepted:
+            merges.append((len(merges), left, right, merged))
+
+        batch = [(left, right, left + right)
+                 for left, right, _ in accepted]
+
+        @F.pandas_udf(T.ArrayType(T.StringType()))
+        def apply_batch(ps: pd.Series) -> pd.Series:
+            def app(p):
+                p = list(p)
+                for left, right, merged in batch:
+                    out = []
+                    i, m = 0, len(p)
+                    while i < m:
+                        if (i < m - 1 and p[i] == left
+                                and p[i + 1] == right):
+                            out.append(merged)
+                            i += 2
+                        else:
+                            out.append(p[i])
+                            i += 1
+                    p = out
+                return p
+            return ps.map(app)
+
+        words = (words.select(apply_batch("p").alias("p"), "n")
+                 .where(F.size("p") >= 2)
+                 .localCheckpoint())
 
     spark = docs.sparkSession
-    from pyspark.sql import types as T
-
     schema = T.StructType([
         T.StructField("rank", T.IntegerType()),
         T.StructField("left", T.StringType()),
@@ -748,3 +860,64 @@ def linear_classifier_score(docs: DataFrame, *, dim: int = 1024,
         F.when(n > 0,
                F.floor(F.round(total / n, 6) * 1000).cast("long"))
         .alias("score_x1000"))
+
+
+# fixed demo merge table for the oracle-checked apply path: common
+# English digraph merges, applied in list order (rank order).  A
+# trained table from :func:`bpe_train` drops in the same way.
+BPE_FIXED_MERGES: list[tuple[str, str]] = [
+    ("t", "h"), ("th", "e"), ("i", "n"), ("e", "r"), ("a", "n"),
+    ("o", "r"), ("s", "t"), ("a", "r"), ("o", "n"), ("l", "e"),
+    ("in", "g"), ("an", "d"),
+]
+
+_BPE_SEP = "\x1f"
+
+
+def bpe_apply(docs: DataFrame,
+              merges: list[tuple[str, str]] | None = None, *,
+              text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """Tokenize with a GIVEN merge table — the BPE *application* path
+    (the half of the tokenizer that runs on every corpus pass, unlike
+    training which runs once).  Exactly classic BPE apply: each word
+    starts as characters and every merge is applied in rank order,
+    left-to-right, non-overlapping.
+
+    Stays entirely in whole-stage codegen via a string encoding: each
+    word is rewritten so every piece is wrapped in \\x1f sentinels
+    (``␟p␟``), and one merge (l, r)→lr is then EXACTLY one literal
+    ``replace(s, '␟l␟␟r␟', '␟lr␟')`` — string replace is leftmost
+    non-overlapping, the same traversal the classic algorithm does,
+    and every SQL engine implements it identically, which is what
+    makes the per-doc output hash oracle-checkable.  The m merges
+    compile to m nested replace calls — zero Python, zero shuffle,
+    one narrow projection.
+
+    Returns (id_col, n_words, n_pieces, pieces_hash) — the piece
+    STREAM is hashed (md5 over \\x1f-joined pieces) so the driver
+    check pins every piece boundary without array columns.
+    """
+    if merges is None:
+        merges = BPE_FIXED_MERGES
+    s = _BPE_SEP
+
+    def tokenize(w):
+        expr = F.regexp_replace(w, "(.)", s + "$1" + s)
+        for left, right in merges:
+            expr = F.replace(
+                expr,
+                F.lit(s + left + s + s + right + s),
+                F.lit(s + left + right + s))
+        return F.split(F.regexp_replace(expr, "^\x1f|\x1f$", ""),
+                       "\x1f\x1f")
+
+    words = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), " "),
+        lambda t: t != "")
+    pieces = F.flatten(F.transform(words, tokenize))
+    return docs.select(
+        id_col,
+        F.size(words).cast("long").alias("n_words"),
+        F.size(pieces).cast("long").alias("n_pieces"),
+        F.md5(F.concat_ws(s, pieces)).alias("pieces_hash"))

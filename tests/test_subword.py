@@ -373,3 +373,143 @@ def test_vocab_hash_sample_deterministic_and_stable(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         subword_vocab(docs, sample_fraction=0.0)
+
+
+def _batched_ref(words_freq: dict[str, int], n_merges: int,
+                 batch_m: int):
+    """Pure-Python simulation of the distributed batched trainer: same
+    pair/trigram counting, same top-K candidate order, same
+    _select_merge_batch, same non-overlapping apply — so the selection
+    logic (the only part that could diverge from sequential BPE) is
+    exercised without Spark."""
+    from html_qt_spark.operators.textstats import _select_merge_batch
+
+    pieces = {w: list(w) for w in words_freq if len(w) >= 2}
+    freq = {w: f for w, f in words_freq.items() if len(w) >= 2}
+    vocab = set()
+    for w in pieces:
+        vocab.update(pieces[w])
+    merges = []
+    while len(merges) < n_merges and pieces:
+        counts: dict[tuple[str, str], int] = {}
+        tric: dict[tuple[str, str, str], int] = {}
+        for w, f in freq.items():
+            p = pieces[w]
+            for i in range(len(p) - 1):
+                k = (p[i], p[i + 1])
+                counts[k] = counts.get(k, 0) + f
+            for i in range(len(p) - 2):
+                k3 = (p[i], p[i + 1], p[i + 2])
+                tric[k3] = tric.get(k3, 0) + f
+        cand = sorted(((l, r, c) for (l, r), c in counts.items()
+                       if c >= 2),
+                      key=lambda t: (-t[2], t[0], t[1]))[:4 * batch_m]
+        if not cand:
+            break
+        guards: dict[tuple[str, str], int] = {}
+        for l, r, _ in cand:
+            g = 0
+            for (x, y, z), c in tric.items():
+                if (y, z) == (l, r) or (x, y) == (l, r):
+                    g = max(g, c)
+            guards[(l, r)] = g
+        accepted = _select_merge_batch(cand, guards, vocab,
+                                       min(batch_m,
+                                           n_merges - len(merges)))
+        assert accepted
+        for left, right, merged in accepted:
+            merges.append((len(merges), left, right, merged))
+            for w in pieces:
+                p = pieces[w]
+                out = []
+                i = 0
+                while i < len(p):
+                    if (i < len(p) - 1 and p[i] == left
+                            and p[i + 1] == right):
+                        out.append(merged)
+                        i += 2
+                    else:
+                        out.append(p[i])
+                        i += 1
+                pieces[w] = out
+        for w in list(pieces):
+            if len(pieces[w]) < 2:
+                del pieces[w]
+                del freq[w]
+    return merges
+
+
+def test_batched_selection_equals_sequential_randomized():
+    """The batch-selection guards (symbol disjointness + trigram
+    created-pair bound + merged-string-collision stop) must make
+    batched training EXACTLY sequential on arbitrary corpora — the
+    property the two pinned Spark corpora cannot cover alone.  300
+    random small corpora over a tiny alphabet (dense collisions, ties,
+    self-adjacent merges like (l,l), pre-existing-merged-string cases)
+    x several batch widths."""
+    import random
+
+    for seed in range(300):
+        rng = random.Random(seed)
+        n_words = rng.randint(2, 12)
+        words: dict[str, int] = {}
+        for _ in range(n_words):
+            w = "".join(rng.choice("abc")
+                        for _ in range(rng.randint(1, 7)))
+            words[w] = words.get(w, 0) + rng.randint(1, 5)
+        n_merges = rng.randint(1, 12)
+        exp = _ref_bpe(dict(words), n_merges)
+        for batch_m in (1, 2, 4, 8):
+            got = _batched_ref(dict(words), n_merges, batch_m)
+            assert got == exp, (seed, batch_m, words, got, exp)
+
+
+def test_bpe_apply_matches_classic_apply(spark):
+    """The replace-chain encoding of BPE apply must equal the classic
+    per-word rank-order, left-to-right, non-overlapping merge walk —
+    pieces, counts, and stream hash — and stay plan-clean (no Python
+    workers, no exchange)."""
+    import hashlib
+
+    from html_qt_spark.operators.textstats import (
+        BPE_FIXED_MERGES,
+        bpe_apply,
+    )
+
+    def classic(word):
+        p = list(word)
+        for left, right in BPE_FIXED_MERGES:
+            merged, out, i = left + right, [], 0
+            while i < len(p):
+                if (i < len(p) - 1 and p[i] == left
+                        and p[i + 1] == right):
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(p[i])
+                    i += 1
+            p = out
+        return p
+
+    rows = [
+        (1, "the thin thing and another star start"),
+        (2, "in inin ththe erer"),   # overlap / re-merge edges
+        (3, ""),                      # empty doc
+        (4, None),                    # null doc
+        (5, "a"),                     # single char word
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r for r in bpe_apply(docs).collect()}
+    for doc_id, text in rows:
+        words = [w for w in (text or "").split(" ") if w]
+        pieces = [p for w in words for p in classic(w)]
+        assert got[doc_id].n_words == len(words)
+        assert got[doc_id].n_pieces == len(pieces)
+        assert got[doc_id].pieces_hash == hashlib.md5(
+            "\x1f".join(pieces).encode()).hexdigest(), (doc_id, pieces)
+
+    plan = bpe_apply(docs)._jdf.queryExecution().executedPlan() \
+        .toString()
+    assert "Exchange" not in plan, plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in \
+        plan, plan
