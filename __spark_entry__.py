@@ -652,69 +652,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                        max_len=4)
 
     # Registration ORDER is part of the driver contract: the driver's
-    # correctness artifact caps at the FIRST 50 entries.  Round-4 order
-    # (VERDICT r3 task #1): the 13 queries that fell past the cap in r3
-    # lead; new round-4 queries follow; 17 triple-driver-green stable
-    # entries (green rows in CORRECTNESS_r01+r02+r03) are rotated past
-    # the cap — every registered query keeps >=1 driver-green row across
-    # rounds.  All entries remain locally parity-checked regardless of
-    # position (tools/check_parity.py runs the full dict).
+    # correctness artifact caps at the FIRST 50 entries.  Round-5 order
+    # (VERDICT r4 task #2): the 24 queries with no r4 driver row lead
+    # (r1-r3 green, rotated back in); the 6 entries whose operators
+    # changed this round follow (they NEED fresh rows); then 20
+    # r4-green entries stay in-cap — kernel-consuming extraction
+    # queries first, since the round-5 template-fragment work touches
+    # the tree builder.  The 26 past-cap entries are all r4-green, so
+    # across r4+r5 every registered query has a driver-green row.  All
+    # entries remain locally parity-checked regardless of position
+    # (tools/check_parity.py runs the full dict).
     return {
-        # -- r3 driver-capped (4 of these never had a driver row) -----
-        "doc_metadata": q_doc_metadata,
-        "clean_corpus": q_clean_corpus,
-        "minhash_lsh_pairs": q_minhash_lsh_pairs,
-        "lsh_pairs_megabucket": q_lsh_pairs_megabucket,
-        "dup_components": q_dup_components,
-        "dup_components_star": q_dup_components_star,
-        "simhash": q_simhash,
-        "ngram_jaccard": q_ngram_jaccard,
-        "ann_lsh_topk": q_ann_lsh_topk,
-        "ivf_topk": q_ivf_topk,
-        "media_decode": q_media_decode,
-        "frame_sample": q_frame_sample,
-        "resize_plan": q_resize_plan,
-        "chunk_docs": q_chunk_docs,
-        # -- new in round 4 --------------------------------------------
-        "subword_tokens": q_subword_tokens,
-        "chunk_subword": q_chunk_subword,
-        "classifier_score": q_classifier_score,
-        "semantic_dedup": q_semantic_dedup,
-        "semantic_dedup_star": q_semantic_dedup_star,
-        "mask_runs": q_mask_runs,
-        "shard_manifest": q_shard_manifest,
-        "bpe_merges": q_bpe_merges,
-        "bpe_apply": q_bpe_apply,
-        "media_captions": q_media_captions,
-        "ivf_topk_batch": q_ivf_topk_batch,
-        # -- extraction flagship + r3-first-green ----------------------
-        "extract_doc": q_extract_doc,
-        "extract_exploded": q_extract_exploded,
-        "extract_compat": q_extract_compat,
-        "extract_chunked": q_extract_chunked,
-        "extract_fragments": q_extract_fragments,
-        "extract_markdown": q_extract_markdown,
-        "doc_parse_stats": q_doc_parse_stats,
-        "event_sessions": q_event_sessions,
-        "event_windows": q_event_windows,
-        "asof_join": q_asof_join,
-        "range_join": q_range_join,
-        "cosine_topk": q_cosine_topk,
-        "cosine_topk_batch": q_cosine_topk_batch,
-        "cosine_dupes": q_cosine_dupes,
-        "cosine_dupes_lsh": q_cosine_dupes_lsh,
-        "scrub_pii": q_scrub_pii,
-        "hash_sample": q_hash_sample,
-        "pack_shards": q_pack_shards,
-        "kmv_distinct": q_kmv_distinct,
-        "gopher_quality": q_gopher_quality,
-        "unigram_logprob": q_unigram_logprob,
-        "bigram_logprob": q_bigram_logprob,
-        "decontaminate": q_decontaminate,
-        "cap_per_source": q_cap_per_source,
-        "temperature_sample": q_temperature_sample,
-        "repetition": q_repetition,
-        "entropy": q_entropy,
+        # -- no r4 driver row: rotated into the cap (r1-r3 green) ------
         "json_meta": q_json_meta,
         "winnowing": q_winnowing,
         "nfc_normalize": q_nfc_normalize,
@@ -722,8 +671,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "para_filter_common": q_para_filter_common,
         "tfidf_top": q_tfidf_top,
         "length_percentiles": q_length_percentiles,
-        # -- rotated past the driver cap: stable, driver-green in
-        # -- r1+r2+r3 (still locally parity-checked every round) -------
         "explode_spans": q_explode_spans,
         "media_filter": q_media_filter,
         "span_stats": q_span_stats,
@@ -741,6 +688,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_customers": q_top_customers,
         "region_nation_rollup": q_region_nation_rollup,
         "regex_tokens": q_regex_tokens,
+        # -- operators changed in round 5: need fresh driver rows ------
+        "shard_manifest": q_shard_manifest,
+        "mask_runs": q_mask_runs,
+        "semantic_dedup": q_semantic_dedup,
+        "semantic_dedup_star": q_semantic_dedup_star,
+        "bpe_merges": q_bpe_merges,
+        "bpe_apply": q_bpe_apply,
+        # -- r4-green, kept in-cap (kernel-consuming extraction first) -
+        "extract_doc": q_extract_doc,
+        "extract_exploded": q_extract_exploded,
+        "extract_compat": q_extract_compat,
+        "extract_chunked": q_extract_chunked,
+        "extract_fragments": q_extract_fragments,
+        "extract_markdown": q_extract_markdown,
+        "doc_parse_stats": q_doc_parse_stats,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "lsh_pairs_megabucket": q_lsh_pairs_megabucket,
+        "dup_components": q_dup_components,
+        "dup_components_star": q_dup_components_star,
+        "chunk_docs": q_chunk_docs,
+        "chunk_subword": q_chunk_subword,
+        "subword_tokens": q_subword_tokens,
+        "pack_shards": q_pack_shards,
+        "kmv_distinct": q_kmv_distinct,
+        "classifier_score": q_classifier_score,
+        "media_decode": q_media_decode,
+        "ivf_topk": q_ivf_topk,
+        "cosine_topk": q_cosine_topk,
+        # -- past the 50-row cap: all r4-driver-green ------------------
+        "doc_metadata": q_doc_metadata,
+        "clean_corpus": q_clean_corpus,
+        "simhash": q_simhash,
+        "ngram_jaccard": q_ngram_jaccard,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "frame_sample": q_frame_sample,
+        "resize_plan": q_resize_plan,
+        "media_captions": q_media_captions,
+        "ivf_topk_batch": q_ivf_topk_batch,
+        "event_sessions": q_event_sessions,
+        "event_windows": q_event_windows,
+        "asof_join": q_asof_join,
+        "range_join": q_range_join,
+        "cosine_topk_batch": q_cosine_topk_batch,
+        "cosine_dupes": q_cosine_dupes,
+        "cosine_dupes_lsh": q_cosine_dupes_lsh,
+        "scrub_pii": q_scrub_pii,
+        "hash_sample": q_hash_sample,
+        "gopher_quality": q_gopher_quality,
+        "unigram_logprob": q_unigram_logprob,
+        "bigram_logprob": q_bigram_logprob,
+        "decontaminate": q_decontaminate,
+        "cap_per_source": q_cap_per_source,
+        "temperature_sample": q_temperature_sample,
+        "repetition": q_repetition,
+        "entropy": q_entropy,
     }
 
 
