@@ -20,7 +20,10 @@ def serialize_tree(tb: TreeBuilder, root: int = 0) -> str:
     def walk(nid: int, depth: int) -> None:
         t = tb.tag[nid]
         pad = "| " + "  " * depth
-        if t == "#text":
+        if t == "#content":
+            # html5lib .dat convention: template contents fragment
+            lines.append(f"{pad}content")
+        elif t == "#text":
             lines.append(f'{pad}"{tb.text[nid]}"')
         elif t == "#comment":
             lines.append(f"{pad}<!-- {tb.text[nid]} -->")

@@ -236,6 +236,7 @@ class TreeBuilder:
         "mode", "original_mode", "frameset_ok", "foster_parenting",
         "head_id", "form_id", "pending_table_text", "ignore_lf",
         "quirks_mode", "doctype", "errors", "done", "fragment_root",
+        "template_content", "template_modes",
     )
 
     def __init__(self, *, reference_compat: bool = False,
@@ -265,6 +266,16 @@ class TreeBuilder:
         self.errors: list[str] = []
         self.done = False
         self.fragment_root = 0  # parse_fragment points this at its root
+        # template nid -> its content DocumentFragment nid ("#content"):
+        # spec template contents live in a separate fragment, not as
+        # direct element children; insertions targeting a template are
+        # redirected into it (WHATWG "appropriate place" step 3)
+        self.template_content: dict[int, int] = {}
+        # WHATWG stack of template insertion modes: entering a template
+        # pushes "in_template"; table-structure start tags inside the
+        # template swap the top for the matching table mode so <tr>/<td>
+        # fragments parse as they would in a table (spec 13.2.4.1)
+        self.template_modes: list[str] = []
 
     # ------------------------------------------------------------ plumbing
 
@@ -300,6 +311,17 @@ class TreeBuilder:
     def _current(self) -> int:
         return self.open_elements[-1]
 
+    def _content_of(self, nid: int) -> int:
+        """Insertion-target redirect: a <template> never receives
+        children directly — they land in its "#content" fragment."""
+        c = self.template_content.get(nid)
+        return c if c is not None else nid
+
+    def _add_template_content(self, nid: int) -> None:
+        c = self._new_node("#content")
+        self._append(c, nid)
+        self.template_content[nid] = c
+
     def _insertion_place(self, override: int | None = None) -> tuple[int, int | None]:
         """WHATWG 'appropriate place for inserting a node'.
         Returns (parent_id, index_or_None) — None index = append.
@@ -320,8 +342,8 @@ class TreeBuilder:
                 return tp, self.children[tp].index(table_id)
             # table has no parent: insert inside previous open element
             idx = self.open_elements.index(table_id)
-            return self.open_elements[idx - 1], None
-        return target, None
+            return self._content_of(self.open_elements[idx - 1]), None
+        return self._content_of(target), None
 
     def _insert_element(self, name: str, attrs, *, push: bool = True) -> int:
         # fast path (hot: once per element): no foster parenting → the
@@ -330,17 +352,22 @@ class TreeBuilder:
         # measured ~8% of whole-document parse time)
         if not self.foster_parenting:
             tags = self.tag
-            nid = len(tags)
             open_elements = self.open_elements
+            parent_id = open_elements[-1]
+            if tags[parent_id] == "template":
+                parent_id = self._content_of(parent_id)
+            nid = len(tags)
             tags.append(name)
-            self.parent.append(open_elements[-1])
-            self.children[open_elements[-1]].append(nid)
+            self.parent.append(parent_id)
+            self.children[parent_id].append(nid)
             self.children.append([])
             self.attrs.append(attrs or [])
             self.text.append(None)
             self.ns.append("html")
             if push and len(open_elements) < MAX_DEPTH:
                 open_elements.append(nid)
+            if name == "template" and not self.reference_compat:
+                self._add_template_content(nid)
             return nid
         nid = self._new_node(name, attrs or [])
         parent_id, index = self._insertion_place()
@@ -351,6 +378,8 @@ class TreeBuilder:
             self.children[parent_id].insert(index, nid)
         if push and len(self.open_elements) < MAX_DEPTH:
             self.open_elements.append(nid)
+        if name == "template" and not self.reference_compat:
+            self._add_template_content(nid)
         return nid
 
     def _insert_text(self, data: str) -> None:
@@ -360,13 +389,15 @@ class TreeBuilder:
             return
         if not self.foster_parenting:
             # fast path mirroring _insert_element
-            kids = self.children[self.open_elements[-1]]
+            parent_id = self.open_elements[-1]
+            if self.tag[parent_id] == "template":
+                parent_id = self._content_of(parent_id)
+            kids = self.children[parent_id]
             if kids and self.tag[kids[-1]] == "#text":
                 self.text[kids[-1]] += data
                 return
             tags = self.tag
             nid = len(tags)
-            parent_id = self.open_elements[-1]
             tags.append("#text")
             self.parent.append(parent_id)
             kids.append(nid)
@@ -667,7 +698,8 @@ class TreeBuilder:
                 self.mode = "in_table"
                 return
             if t == "template":
-                self.mode = "in_template"
+                self.mode = (self.template_modes[-1]
+                             if self.template_modes else "in_template")
                 return
             if t == "head" and not last:
                 self.mode = "in_head"
@@ -920,6 +952,8 @@ class TreeBuilder:
                 self._err("eof-in-template")
                 self._pop_until("template")
                 self._clear_formatting_to_marker()
+                if self.template_modes:
+                    self.template_modes.pop()
                 self._reset_insertion_mode()
         if self.mode == "initial":
             self.quirks_mode = "quirks"
@@ -1141,6 +1175,7 @@ class TreeBuilder:
                 self.active_formatting.append(MARKER)
                 self.frameset_ok = False
                 self.mode = "in_template"
+                self.template_modes.append("in_template")
                 return
             if name == "head":
                 self._err("two-heads-are-not-better-than-one")
@@ -1155,6 +1190,8 @@ class TreeBuilder:
                     self._generate_implied_end(thorough=True)
                     self._pop_until("template")
                     self._clear_formatting_to_marker()
+                    if self.template_modes:
+                        self.template_modes.pop()
                     self._reset_insertion_mode()
                 return
             if name not in ("body", "html", "br"):
@@ -1634,12 +1671,39 @@ class TreeBuilder:
                     self._err("unexpected-end-tag-in-template")
                 self._pop_until("template")
                 self._clear_formatting_to_marker()
+                if self.template_modes:
+                    self.template_modes.pop()
                 self._reset_insertion_mode()
                 return
             # nested template: handled by the in_head branch via in_body
-        if kind == "StartTag" and name in ("head", "body", "frameset",
-                                           "html"):
-            self._err("unexpected-start-tag-in-template")
+        if kind == "StartTag":
+            # spec in-template routing: table-structure start tags swap
+            # the current template insertion mode for the matching
+            # table mode and reprocess there, so template contents like
+            # <tr><td> build real rows instead of loose text
+            route = None
+            if name in ("caption", "colgroup", "tbody", "tfoot",
+                        "thead"):
+                route = "in_table"
+            elif name == "col":
+                route = "in_column_group"
+            elif name == "tr":
+                route = "in_table_body"
+            elif name in ("td", "th"):
+                route = "in_row"
+            if route is not None:
+                if self.template_modes:
+                    self.template_modes[-1] = route
+                self.mode = route
+                self._TAG_DISPATCH[self.mode](self, tok)
+                return
+            if name in ("head", "body", "frameset", "html"):
+                self._err("unexpected-start-tag-in-template")
+                return
+            if self.template_modes:
+                self.template_modes[-1] = "in_body"
+            self.mode = "in_body"
+            self._tag_in_body(tok)
             return
         if kind == "EndTag" and name in ("body", "html", "frameset"):
             self._err("unexpected-end-tag-in-template")
