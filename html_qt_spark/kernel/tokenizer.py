@@ -613,7 +613,10 @@ class HTMLTokenizer:
             self.pos += len(run)
         appropriate = self.tag_name == self.last_start_tag
         c = self.html[self.pos] if self.pos < self.n else ""
-        if appropriate and c in WHITESPACE:
+        # NB: c == "" (EOF) must fall to anything-else — `"" in
+        # WHITESPACE` is True for the str constant, which silently
+        # swallowed `</script`+EOF into before-attribute-name
+        if appropriate and c != "" and c in WHITESPACE:
             self.pos += 1
             self.state = self._before_attribute_name_state
         elif appropriate and c == "/":
