@@ -2,10 +2,12 @@
 sinks, checkpoint-resume via anti-join (north_rule).
 
 In production the sinks are Iceberg tables (``df.writeTo(...).append()``
-with snapshot isolation; resume pins the input snapshot id).  The sandbox
-has no Iceberg jar, so the same module writes parquet directories with an
-identical API surface — swapping ``_write`` for ``writeTo`` is the only
-deployment delta (SURVEY.md §7 step 6).
+with snapshot isolation; resume pins the input snapshot id).  Both modes
+ship in this module: pass ``out_dir="iceberg:<catalog>.<db>"`` from a
+session built with ``get_spark(iceberg_warehouse=…)`` (which detects the
+runtime jar, plans/session.py:find_iceberg_jar) and every sink becomes a
+real ``writeTo`` table commit; a plain directory ``out_dir`` keeps the
+parquet layout the jar-less sandbox uses (SURVEY.md §7 step 6).
 
 Layout under ``out_dir``:
   spans/       (doc_id, span_idx, kind, text, media_ref, offset)
@@ -36,9 +38,33 @@ from html_qt_spark.operators.extract import (
 )
 
 
-def _write(df: DataFrame, path: str, mode: str = "append") -> None:
-    # Iceberg in production: df.writeTo(table).append()
-    df.write.mode(mode).parquet(path)
+def _sink(out_dir: str, name: str) -> str:
+    """Sink target for one of the job's four tables.  ``out_dir`` may
+    be a directory (parquet layout) or ``iceberg:<catalog>.<db>`` —
+    the scheme a session built with ``get_spark(iceberg_warehouse=…)``
+    (and a detected runtime jar) can commit to with real snapshot
+    isolation."""
+    if out_dir.startswith("iceberg:"):
+        return f"{out_dir}.{name}"
+    return f"{out_dir}/{name}"
+
+
+def _write(df: DataFrame, target: str, mode: str = "append") -> None:
+    if target.startswith("iceberg:"):
+        tbl = target[len("iceberg:"):]
+        try:
+            df.writeTo(tbl).append()
+        except Exception:  # noqa: BLE001 — first write creates the table
+            df.writeTo(tbl).create()
+        return
+    df.write.mode(mode).parquet(target)
+
+
+def _read_sink(spark: SparkSession, out_dir: str, name: str) -> DataFrame:
+    target = _sink(out_dir, name)
+    if target.startswith("iceberg:"):
+        return spark.read.table(target[len("iceberg:"):])
+    return spark.read.parquet(target)
 
 
 def run_extraction_job(
@@ -75,7 +101,7 @@ def run_extraction_job(
         done: DataFrame | None = None
         for sub in ("spans", "quarantine"):
             try:
-                prev = spark.read.parquet(f"{out_dir}/{sub}") \
+                prev = _read_sink(spark, out_dir, sub) \
                     .select("doc_id").distinct()
                 done = prev if done is None else done.union(prev).distinct()
             except Exception:  # noqa: BLE001 — sink may not exist yet
@@ -118,8 +144,8 @@ def run_extraction_job(
         F.col("offset").alias("error_pos"),
     )
 
-    _write(spans, f"{out_dir}/spans")
-    _write(quarantine, f"{out_dir}/quarantine")
+    _write(spans, _sink(out_dir, "spans"))
+    _write(quarantine, _sink(out_dir, "quarantine"))
     wall_ms = int((time.time() - t0) * 1000)
 
     # lineage: per-partition counters (cheap JVM aggregations over the
@@ -141,7 +167,7 @@ def run_extraction_job(
                .select(F.lit(run_id).alias("run_id"), "partition_id",
                        "docs_in", "docs_out", "spans_out", "quarantined",
                        F.lit(input_snapshot_id).alias("input_snapshot_id")))
-    _write(lineage, f"{out_dir}/lineage")
+    _write(lineage, _sink(out_dir, "lineage"))
 
     totals = out.agg(
         F.countDistinct("doc_id").alias("docs"),
@@ -156,7 +182,7 @@ def run_extraction_job(
          (run_id, "quarantined", float(totals["quarantined"] or 0)),
          (run_id, "wall_ms", float(wall_ms))],
         ["run_id", "key", "value"])
-    _write(metrics, f"{out_dir}/metrics")
+    _write(metrics, _sink(out_dir, "metrics"))
     out.unpersist()
 
     return {
