@@ -625,6 +625,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # piece stream so the oracle pins every boundary
         return textstats.bpe_apply(_docs(spark, sf))
 
+    def q_dsir_weights(spark, sf):
+        # DSIR importance resampling weights (r5): hashed-bigram
+        # log-ratio of target (lang='en') vs raw corpus; md5_32 buckets
+        # so the oracle recomputes the identical feature space
+        from html_qt_spark.operators.curation import dsir_logweights
+
+        docs = _docs(spark, sf)
+        return dsir_logweights(docs, docs.where(F.col("lang") == "en"),
+                               buckets=256, hash_fn="md5_32")
+
+    def q_ppl_buckets(spark, sf):
+        # CCNet head/middle/tail perplexity split (r5): per-lang ntile
+        # over the corpus-trained bigram LM score, deterministic ties
+        from html_qt_spark.operators.curation import perplexity_buckets
+
+        return perplexity_buckets(_docs(spark, sf))
+
     def q_media_captions(spark, sf):
         # nearest text context per media span (caption pairing, r4)
         return multimodal.media_captions(interleaved_exploded(spark, sf))
@@ -695,6 +712,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup_star": q_semantic_dedup_star,
         "bpe_merges": q_bpe_merges,
         "bpe_apply": q_bpe_apply,
+        # -- new in round 5 --------------------------------------------
+        "dsir_weights": q_dsir_weights,
+        "ppl_buckets": q_ppl_buckets,
         # -- r4-green, kept in-cap (kernel-consuming extraction first) -
         "extract_doc": q_extract_doc,
         "extract_exploded": q_extract_exploded,
@@ -714,9 +734,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct": q_kmv_distinct,
         "classifier_score": q_classifier_score,
         "media_decode": q_media_decode,
+        # -- past the 50-row cap: all r4-driver-green ------------------
         "ivf_topk": q_ivf_topk,
         "cosine_topk": q_cosine_topk,
-        # -- past the 50-row cap: all r4-driver-green ------------------
         "doc_metadata": q_doc_metadata,
         "clean_corpus": q_clean_corpus,
         "simhash": q_simhash,
@@ -1365,6 +1385,12 @@ def oracle_sql() -> dict[str, str]:
             "1 PRECEDING), 0) AS BIGINT) AS token_offset "
             "FROM packed"),
         "bpe_apply": _bpe_apply_oracle(),
+        "dsir_weights": "WITH ts AS (SELECT doc_id, list_filter(string_split(coalesce(text, ''), ' '), x -> x <> '') AS toks FROM documents), g AS (SELECT doc_id, ('0x' || substr(md5(toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT) + 1]), 1, 8))::BIGINT % 256 AS b FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM ts WHERE len(toks) >= 2)), tg AS (SELECT g.b FROM g JOIN documents d USING (doc_id) WHERE d.lang = 'en'), rc AS (SELECT b, count(*) AS rcn FROM g GROUP BY b), tc AS (SELECT b, count(*) AS tcn FROM tg GROUP BY b), tot AS (SELECT (SELECT count(*) FROM g) AS nr, (SELECT count(*) FROM tg) AS nt), w AS (SELECT rc.b, ln((coalesce(tc.tcn, 0) + 1.0) / (tot.nt + 256.0)) - ln((rc.rcn + 1.0) / (tot.nr + 256.0)) AS lw FROM rc LEFT JOIN tc USING (b), tot), s AS (SELECT doc_id, count(*) AS n_grams, sum(lw) AS lw FROM g JOIN w USING (b) GROUP BY doc_id) SELECT d.doc_id, CAST(coalesce(s.n_grams, 0) AS BIGINT) AS n_grams, CASE WHEN s.n_grams > 0 THEN CAST(floor(round(s.lw, 6) * 1000) AS BIGINT) END AS logw_x1000 FROM documents d LEFT JOIN s USING (doc_id)",
+        "ppl_buckets": (
+            "SELECT b.doc_id, d.lang, b.n_bigrams, b.logprob_x1000, "
+            "CAST(ntile(3) OVER (PARTITION BY d.lang "
+            "ORDER BY b.logprob_x1000, b.doc_id) AS INT) AS ppl_bucket "
+            f"FROM ({_BIGRAM_ORACLE}) b JOIN documents d USING (doc_id)"),
         "chunk_subword": _CHUNK_SUBWORD_ORACLE,
         "media_captions": oracle_cte(
             'SELECT doc_id, "offset", media_ref, caption_before, '

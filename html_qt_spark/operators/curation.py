@@ -357,3 +357,106 @@ def shard_manifest_rows(packed: DataFrame, *,
             .select(*keys, "pack_pos", id_col,
                     F.col(tokens_col).cast("long").alias("n_tokens"),
                     "token_offset"))
+
+
+def _hashed_bigram_buckets(docs: DataFrame, *, buckets: int,
+                           text_col: str, id_col: str,
+                           hash_fn: str) -> DataFrame:
+    """(id_col, b): one row per word-bigram OCCURRENCE, hashed into
+    ``buckets`` feature buckets.  Shuffle-free per doc: the bigram list
+    is arrays_zip of the token array against its own shifted slice."""
+    toks = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), " "),
+        lambda t: t != "")
+    n = F.size(toks)
+    pairs = F.arrays_zip(
+        F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(n - 1, F.lit(0))))
+    g = F.concat_ws(" ", F.col("p.0"), F.col("p.1"))
+    if hash_fn == "md5_32":
+        h = F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long")
+    else:
+        h = F.xxhash64(g)
+    return (docs
+            .where(n >= 2)
+            .select(id_col, F.explode(pairs).alias("p"))
+            .select(id_col, F.pmod(h, F.lit(buckets)).alias("b")))
+
+
+def dsir_logweights(docs: DataFrame, target: DataFrame, *,
+                    buckets: int = 1024, alpha: float = 1.0,
+                    text_col: str = "text", id_col: str = "doc_id",
+                    hash_fn: str = "xxhash64") -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al., NeurIPS
+    2023): score every raw document by how much more likely its hashed
+    n-gram features are under a TARGET corpus (the high-quality domain
+    you want more of) than under the raw corpus itself —
+    log w(d) = Σ_g [ln p_target(g) − ln p_raw(g)] over the document's
+    hashed word-bigram occurrences, add-``alpha`` smoothed over the
+    ``buckets``-bucket feature space.  Sampling ∝ exp(log w) then
+    reshapes the raw corpus toward the target distribution.
+
+    Plan at 10^12 docs: two Zipf-free aggregations of the hashed gram
+    stream (the count tables are at most ``buckets`` rows — constant,
+    broadcastable by construction), one broadcast join back to the
+    per-doc gram stream, one doc-keyed groupBy.  No corpus-sized
+    shuffle beyond the gram groupBy; nothing quadratic.
+
+    Returns (id_col, n_grams, logw_x1000) for EVERY raw document —
+    logw_x1000 = floor(round(Σ, 6)·1000) (the drift-absorbing
+    integerization the other scored operators use); NULL when the doc
+    has no bigrams.
+    """
+    raw_g = _hashed_bigram_buckets(docs, buckets=buckets,
+                                   text_col=text_col, id_col=id_col,
+                                   hash_fn=hash_fn)
+    tgt_g = _hashed_bigram_buckets(target, buckets=buckets,
+                                   text_col=text_col, id_col=id_col,
+                                   hash_fn=hash_fn)
+    raw_c = raw_g.groupBy("b").agg(F.count("*").alias("rc"))
+    tgt_c = tgt_g.groupBy("b").agg(F.count("*").alias("tc"))
+    raw_n = raw_g.count()
+    tgt_n = tgt_g.count()
+    w = (raw_c.join(tgt_c, "b", "left")
+         .select("b",
+                 (F.log((F.coalesce(F.col("tc"), F.lit(0)) + alpha)
+                        / F.lit(tgt_n + alpha * buckets))
+                  - F.log((F.col("rc") + alpha)
+                          / F.lit(raw_n + alpha * buckets)))
+                 .alias("lw")))
+    s = (raw_g.join(F.broadcast(w), "b")
+         .groupBy(id_col)
+         .agg(F.count("*").alias("n_grams"),
+              F.sum("lw").alias("lw")))
+    return (docs.select(id_col).join(s, id_col, "left")
+            .select(id_col,
+                    F.coalesce("n_grams", F.lit(0)).cast("long")
+                    .alias("n_grams"),
+                    F.when(F.col("n_grams") > 0,
+                           F.floor(F.round("lw", 6) * 1000)
+                           .cast("long")).alias("logw_x1000")))
+
+
+def perplexity_buckets(docs: DataFrame, *, n_buckets: int = 3,
+                       group_col: str = "lang") -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): rank
+    documents by their LM score WITHIN each language and split into
+    equal-count buckets — bucket 1 is the most-predictable "head" the
+    pipeline keeps, the last bucket the noisy "tail" it drops or
+    down-samples.  The LM is the corpus-trained bigram model
+    (:func:`textstats.bigram_logprob` — the engine's KenLM stand-in).
+
+    One window over (group_col) ordered by (score, doc_id) — ties
+    broken deterministically so the split is engine-portable.  Docs
+    with fewer than 2 tokens have no bigram score and are omitted,
+    matching the scorer.  Returns (doc_id, group_col, n_bigrams,
+    logprob_x1000, ppl_bucket).
+    """
+    from html_qt_spark.operators.textstats import bigram_logprob
+
+    scored = bigram_logprob(docs).join(
+        docs.select("doc_id", group_col), "doc_id")
+    w = Window.partitionBy(group_col).orderBy("logprob_x1000", "doc_id")
+    return scored.select(
+        "doc_id", group_col, "n_bigrams", "logprob_x1000",
+        F.ntile(n_buckets).over(w).cast("int").alias("ppl_bucket"))

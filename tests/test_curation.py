@@ -354,3 +354,54 @@ def test_shard_manifest_rows_matches_array_manifest(spark):
                 off = 0
             assert r.token_offset == off
             off += r.n_tokens
+
+
+def test_dsir_logweights_prefer_target_like_docs(spark):
+    """DSIR invariant: raw documents sharing the target corpus's bigram
+    features score higher log-weights than off-distribution docs; every
+    raw doc gets a row; docs without bigrams get NULL scores."""
+    from html_qt_spark.operators.curation import dsir_logweights
+
+    tgt_style = "the model trains on clean prose with long sentences"
+    noise = "zzz qqq kkk www ppp xxx yyy"
+    rows = ([(i, tgt_style, "en") for i in range(10)]
+            + [(100 + i, noise, "xx") for i in range(10)]
+            + [(900, "solo", "en")])
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    out = {r.doc_id: r for r in dsir_logweights(
+        docs, docs.where("lang = 'en'"), buckets=64).collect()}
+    assert len(out) == 21
+    assert out[900].n_grams == 0 and out[900].logw_x1000 is None
+    on_t = out[0].logw_x1000
+    off_t = out[100].logw_x1000
+    assert on_t > off_t, (on_t, off_t)
+
+
+def test_perplexity_buckets_split_evenly_and_ordered(spark):
+    """CCNet bucketing: within each language the buckets are
+    equal-count (+/-1) and ordered — every head doc scores <= every
+    middle doc, etc.; short docs without bigrams are omitted."""
+    from html_qt_spark.operators.curation import perplexity_buckets
+
+    texts = ["the cat sat on the mat again and again",
+             "the dog sat on the mat again and again",
+             "completely novel words burst entropy machine",
+             "alpha beta gamma delta epsilon zeta eta",
+             "the cat sat on the mat once more today",
+             "quantum flux harmonics disrupt lattice phonons"]
+    rows = [(i, texts[i % len(texts)] + f" v{i}", "ab"[i % 2])
+            for i in range(24)] + [(99, "one", "a")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    out = perplexity_buckets(docs).collect()
+    assert all(r.doc_id != 99 for r in out)  # no bigrams -> omitted
+    for lang in ("a", "b"):
+        sub = [r for r in out if r.lang == lang]
+        from collections import Counter
+
+        counts = Counter(r.ppl_bucket for r in sub)
+        assert set(counts) == {1, 2, 3}
+        assert max(counts.values()) - min(counts.values()) <= 1
+        for lo, hi in ((1, 2), (2, 3)):
+            assert max(r.logprob_x1000 for r in sub
+                       if r.ppl_bucket == lo) <= \
+                min(r.logprob_x1000 for r in sub if r.ppl_bucket == hi)
