@@ -535,3 +535,88 @@ def mask_common_runs(docs: DataFrame, *, n: int = 10,
         .alias("clean_text"),
         (F.size("_ts") - F.size(keep)).cast("long")
         .alias("n_tokens_masked"))
+
+
+def mask_common_runs_chars(docs: DataFrame, *, n: int = 20,
+                           min_docs: int = 2,
+                           text_col: str = "text",
+                           id_col: str = "doc_id") -> DataFrame:
+    """Exact-substring dedup at CHARACTER granularity — the closest
+    shuffle-native approximation of Lee et al.'s byte-level suffix-array
+    ExactSubstr (the token-level :func:`mask_common_runs` cannot catch
+    duplicated material that crosses token boundaries differently, e.g.
+    re-wrapped or re-punctuated quotes).  Any run of ``n`` consecutive
+    characters appearing in >= ``min_docs`` distinct documents is cut
+    from every document carrying it.
+
+    Same plan shape as the token version: posexplode hashed char
+    n-grams (md5 of the substring — engine-portable), count distinct
+    docs per gram, join hits back, collect + interval-merge hit starts
+    per doc.  The rebuild is O(kept-runs), not O(chars): the merged
+    mask intervals are complemented into keep segments and the clean
+    text is the concat of ``substring`` slices — no per-character
+    work, so a 1 MB document costs a handful of slice copies.
+    Returns (id_col, clean_text, n_chars_masked).
+    """
+    tx = F.coalesce(F.col(text_col), F.lit(""))
+    base = docs.select(id_col, tx.alias("_tx"))
+    ln = F.length("_tx")
+    gram_structs = F.transform(
+        F.sequence(F.lit(0), ln - n),
+        lambda i: F.struct(
+            i.cast("int").alias("pos"),
+            F.md5(F.col("_tx").substr(i + 1, F.lit(n))).alias("g")))
+    grams = (base
+             .where(ln >= n)
+             .select(id_col, F.explode(gram_structs).alias("ps"))
+             .select(id_col, F.col("ps.pos").alias("pos"),
+                     F.col("ps.g").alias("g")))
+    dup = (grams.groupBy("g")
+           .agg(F.countDistinct(id_col).alias("_nd"))
+           .where(F.col("_nd") >= min_docs)
+           .select("g"))
+    hits = (grams.join(dup, "g")
+            .groupBy(id_col)
+            .agg(F.array_sort(F.collect_list("pos")).alias("_hits")))
+    joined = base.join(hits, id_col, "left")
+    hits_arr = F.coalesce(F.col("_hits"),
+                          F.array().cast("array<int>"))
+    # merge sorted hit starts into disjoint [s, s+n) intervals
+    ivs = F.aggregate(
+        hits_arr,
+        F.array().cast("array<struct<s:int,e:int>>"),
+        lambda acc, h: F.when(
+            (F.size(acc) > 0) & (h <= F.element_at(acc, -1)["e"]),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(F.struct(
+                    F.element_at(acc, -1)["s"].alias("s"),
+                    (h + n).cast("int").alias("e")))))
+        .otherwise(F.concat(acc, F.array(F.struct(
+            h.cast("int").alias("s"),
+            (h + n).cast("int").alias("e"))))))
+    # complement into keep segments [prev_end, s) + tail [last_end, len)
+    segs = F.aggregate(
+        ivs,
+        F.struct(F.lit(0).cast("int").alias("prev"),
+                 F.array().cast("array<struct<s:int,e:int>>")
+                 .alias("ks")),
+        lambda acc, iv: F.struct(
+            iv["e"].alias("prev"),
+            F.concat(acc["ks"], F.array(F.struct(
+                acc["prev"].alias("s"), iv["s"].alias("e"))))
+            .alias("ks")),
+        lambda acc: F.filter(
+            F.concat(acc["ks"], F.array(F.struct(
+                acc["prev"].alias("s"), ln.cast("int").alias("e")))),
+            lambda seg: seg["e"] > seg["s"]))
+    clean = F.concat_ws(
+        "", F.transform(segs, lambda seg: F.col("_tx").substr(
+            seg["s"] + 1, seg["e"] - seg["s"])))
+    kept = F.aggregate(
+        segs, F.lit(0).cast("long"),
+        lambda acc, seg: acc + (seg["e"] - seg["s"]).cast("long"))
+    return joined.select(
+        id_col,
+        clean.alias("clean_text"),
+        (ln.cast("long") - kept).alias("n_chars_masked"))

@@ -251,3 +251,35 @@ def test_mask_common_runs_interval_merge_on_fully_quoted_doc(spark):
     assert got[1] == ("", 400) and got[2] == ("", 400)
     assert got[3] == (gap_a, 10)
     assert got[4] == ("zz yy xx ww vv", 10)
+
+
+def test_mask_common_runs_chars_cross_token_boundaries(spark):
+    """Char-level ExactSubstr: duplicated material that token-level
+    masking misses because the copies are re-wrapped with different
+    punctuation/whitespace still masks; unique text survives; the
+    rebuild uses keep-segment slices (O(runs), not O(chars))."""
+    from html_qt_spark.operators.dedup import mask_common_runs_chars
+
+    quote = "to be or not to be that is the question"
+    rows = [
+        (1, f"intro {quote} outro-one"),
+        (2, f"prefix,{quote},suffix-two"),   # different token wrapping
+        (3, "entirely original material here with no duplicates"),
+        (4, "short"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r for r in
+           mask_common_runs_chars(docs, n=16, min_docs=2).collect()}
+    # the shared quote is cut from BOTH carriers
+    assert quote not in got[1].clean_text
+    assert quote not in got[2].clean_text
+    assert got[1].n_chars_masked >= len(quote)
+    assert got[2].n_chars_masked >= len(quote)
+    # unique docs untouched
+    assert got[3].clean_text == rows[2][1] and got[3].n_chars_masked == 0
+    assert got[4].clean_text == "short" and got[4].n_chars_masked == 0
+    # full duplicates mask to empty
+    dup = spark.createDataFrame(
+        [(1, "x" * 50), (2, "x" * 50)], ["doc_id", "text"])
+    for r in mask_common_runs_chars(dup, n=16, min_docs=2).collect():
+        assert r.clean_text == "" and r.n_chars_masked == 50
