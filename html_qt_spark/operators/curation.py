@@ -460,3 +460,34 @@ def perplexity_buckets(docs: DataFrame, *, n_buckets: int = 3,
     return scored.select(
         "doc_id", group_col, "n_bigrams", "logprob_x1000",
         F.ntile(n_buckets).over(w).cast("int").alias("ppl_bucket"))
+
+
+def hash_split(docs: DataFrame, *,
+               fractions: dict[str, float] | None = None,
+               salt: str = "split0", id_col: str = "doc_id",
+               hash_fn: str = "xxhash64") -> DataFrame:
+    """Deterministic train/val/test assignment keyed on the document
+    id — the split every pipeline needs to be REPRODUCIBLE and
+    leak-free: a document's split never changes when the corpus grows,
+    is re-partitioned, or is re-processed on a different cluster,
+    because it depends only on (salt, id), never on row order or RNG
+    state (`randomSplit` guarantees neither across re-runs).
+
+    ``fractions`` maps split name -> fraction (must sum to <= 1; any
+    remainder falls into the last split).  One narrow projection — no
+    shuffle, no sort.  Returns input id column + split:string.
+    """
+    fractions = fractions or {"train": 0.98, "val": 0.01, "test": 0.01}
+    m = 1_000_000
+    h = _id_hash(id_col, salt, hash_fn) % m
+    expr = None
+    acc = 0.0
+    names = list(fractions)
+    for name in names[:-1]:
+        acc += fractions[name]
+        cond = h < int(acc * m)
+        expr = F.when(cond, name) if expr is None else \
+            expr.when(cond, name)
+    last = F.lit(names[-1]) if expr is None else \
+        expr.otherwise(names[-1])
+    return docs.select(id_col, last.alias("split"))

@@ -405,3 +405,29 @@ def test_perplexity_buckets_split_evenly_and_ordered(spark):
             assert max(r.logprob_x1000 for r in sub
                        if r.ppl_bucket == lo) <= \
                 min(r.logprob_x1000 for r in sub if r.ppl_bucket == hi)
+
+
+def test_hash_split_reproducible_and_orderfree(spark):
+    """Split assignment must be a pure function of (salt, id): stable
+    across re-runs and row order, roughly proportional, and exhaustive
+    (every doc gets exactly one split)."""
+    from pyspark.sql import functions as F
+
+    from html_qt_spark.operators.curation import hash_split
+
+    docs = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(2000)], ["doc_id", "text"])
+    a = {r.doc_id: r.split for r in hash_split(docs).collect()}
+    b = {r.doc_id: r.split
+         for r in hash_split(docs.orderBy(F.col("doc_id").desc()))
+         .collect()}
+    assert a == b and len(a) == 2000
+    from collections import Counter
+
+    c = Counter(a.values())
+    assert set(c) == {"train", "val", "test"}
+    assert c["train"] > 1800 and c["val"] < 100 and c["test"] < 100
+    # different salt -> different (but still deterministic) split
+    d = {r.doc_id: r.split
+         for r in hash_split(docs, salt="other").collect()}
+    assert d != a
