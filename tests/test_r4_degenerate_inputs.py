@@ -97,3 +97,41 @@ def test_semantic_dedup_and_manifest_degenerate(spark):
     assert semantic_dedup(emb, n_centroids=4).count() == 0
     docs = spark.createDataFrame([], "doc_id long, n_tokens long")
     assert shard_manifest(pack_shards(docs, token_budget=10)).count() == 0
+
+
+def test_r5_ops_degenerate(spark, empty_docs, blank_docs):
+    """Round-5 operators on empty/blank/null inputs: sane zero/NULL
+    results, never a raise."""
+    from html_qt_spark.operators.curation import (
+        dsir_logweights,
+        hash_split,
+        perplexity_buckets,
+    )
+    from html_qt_spark.operators.dedup import mask_common_runs_chars
+    from html_qt_spark.operators.textstats import bpe_apply
+
+    assert mask_common_runs_chars(empty_docs, n=8).count() == 0
+    rows = {r.doc_id: r for r in
+            mask_common_runs_chars(blank_docs, n=8).collect()}
+    assert rows[3].clean_text == "" and rows[3].n_chars_masked == 0
+
+    assert bpe_apply(empty_docs).count() == 0
+    ap = {r.doc_id: r for r in bpe_apply(blank_docs).collect()}
+    assert ap[1].n_words == 0 and ap[1].n_pieces == 0
+    assert ap[3].n_words == 0
+
+    assert hash_split(empty_docs).count() == 0
+    assert hash_split(blank_docs).count() == 3
+
+    assert dsir_logweights(empty_docs, empty_docs).count() == 0
+    dw = {r.doc_id: r for r in
+          dsir_logweights(blank_docs, blank_docs).collect()}
+    assert all(dw[i].n_grams == 0 and dw[i].logw_x1000 is None
+               for i in (1, 2, 3))
+
+    assert perplexity_buckets(
+        blank_docs.withColumn("lang", blank_docs.doc_id.cast("string"))
+    ).count() == 0
+    assert perplexity_buckets(
+        empty_docs.withColumn("lang", empty_docs.doc_id.cast("string"))
+    ).count() == 0
