@@ -99,7 +99,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return dedup.exact_dedup(_docs(spark, sf))
 
     def q_minhash_signatures(spark, sf):
-        return dedup.minhash_signatures(_docs(spark, sf), num_hashes=8)
+        # oracle pins the engine-portable md5 family (production
+        # default is the native xxhash64 family; same pattern as simhash)
+        return dedup.minhash_signatures(_docs(spark, sf), num_hashes=8,
+                                        hash_fn="md5")
 
     def q_token_count(spark, sf):
         return textstats.token_count(_docs(spark, sf))
@@ -474,19 +477,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         F.substring(F.md5("clean_text"), 1, 8).alias("fp8")))
 
     def q_minhash_lsh_pairs(spark, sf):
-        return dedup.minhash_lsh_pairs(_docs(spark, sf))
+        return dedup.minhash_lsh_pairs(_docs(spark, sf),
+                                       hash_fn="md5")
 
     def q_lsh_pairs_megabucket(spark, sf):
         # cap=2 < real sf0.01 max bucket size: over-cap buckets emit
         # linear star pairs (VERDICT r3 task #4 recall-hole fix)
         return dedup.minhash_lsh_pairs(_docs(spark, sf),
-                                       max_docs_per_bucket=2)
+                                       max_docs_per_bucket=2,
+                                       hash_fn="md5")
 
     def q_dup_components(spark, sf):
         # duplicate-cluster assignment: iterative min-label propagation
         # over the LSH candidate graph (O(diameter) shuffle rounds)
         return dedup.connected_components(
-            dedup.minhash_lsh_pairs(_docs(spark, sf)))
+            dedup.minhash_lsh_pairs(_docs(spark, sf), hash_fn="md5"))
 
     def q_dup_components_star(spark, sf):
         # same clustering via alternating large-star/small-star
@@ -494,7 +499,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # where min-label needs O(diameter); identical output contract,
         # same recursive-CTE oracle
         return dedup.connected_components_star(
-            dedup.minhash_lsh_pairs(_docs(spark, sf)))
+            dedup.minhash_lsh_pairs(_docs(spark, sf), hash_fn="md5"))
 
     def q_simhash(spark, sf):
         # 32-bit md5_32 family = exact DuckDB oracle; the 64-bit xxhash64

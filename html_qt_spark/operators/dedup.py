@@ -62,26 +62,44 @@ def shingles(docs: DataFrame, *, n: int = 3) -> DataFrame:
 
 
 def minhash_signatures(docs: DataFrame, *, num_hashes: int = 8,
-                       shingle_n: int = 3) -> DataFrame:
+                       shingle_n: int = 3,
+                       hash_fn: str = "xxhash64") -> DataFrame:
     """(doc_id, sig_0..sig_{k-1}) MinHash over word n-gram shingles.
 
-    Hash family: md5(seed || shingle) — deterministic, engine-portable
-    (DuckDB oracle computes the identical strings).  Explode + groupBy is
-    one shuffle; the k mins fold in a single aggregation pass (min over
-    the multiset equals min over the set, so no distinct needed).
+    Hash families (the same dual-family pattern as :func:`simhash` /
+    ``similarity.srp_buckets``): "xxhash64" (default) keeps the k
+    per-shingle hashes native 64-bit JVM ops — no hex-string
+    allocation, ~an order of magnitude cheaper per shingle, the family
+    a production run wants; "md5" computes md5(seed || shingle) hex
+    strings — deterministic AND engine-portable, the family the DuckDB
+    oracle queries pin.  Both are valid MinHash families (identical
+    docs get identical signatures; collision behavior is equivalent),
+    so every downstream semantic (LSH banding, components, first-wins)
+    is family-agnostic.  Explode + groupBy is one shuffle; the k mins
+    fold in a single aggregation pass (min over the multiset equals
+    min over the set, so no distinct needed).
     """
     sh = shingles(docs, n=shingle_n)
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(str(j) + ":"), F.col("shingle"))))
-        .alias(f"sig_{j}")
-        for j in range(num_hashes)
-    ]
+    if hash_fn == "md5":
+        aggs = [
+            F.min(F.md5(F.concat(F.lit(str(j) + ":"),
+                                 F.col("shingle"))))
+            .alias(f"sig_{j}")
+            for j in range(num_hashes)
+        ]
+    else:
+        aggs = [
+            F.min(F.xxhash64(F.lit(str(j) + ":"), F.col("shingle")))
+            .alias(f"sig_{j}")
+            for j in range(num_hashes)
+        ]
     return sh.groupBy("doc_id").agg(*aggs)
 
 
 def minhash_lsh_pairs(docs: DataFrame, *, num_hashes: int = 16,
                       bands: int = 4,
-                      max_docs_per_bucket: int = 1000) -> DataFrame:
+                      max_docs_per_bucket: int = 1000,
+                      hash_fn: str = "xxhash64") -> DataFrame:
     """Candidate near-duplicate pairs via banded LSH.
 
     Signature split into ``bands`` bands of ``num_hashes/bands`` rows;
@@ -103,14 +121,19 @@ def minhash_lsh_pairs(docs: DataFrame, *, num_hashes: int = 16,
     m-1 pairs instead of C(m,2).  Singleton buckets are pruned in the
     same pass.  Returns (doc_a, doc_b) with doc_a < doc_b, distinct.
     """
-    sig = minhash_signatures(docs, num_hashes=num_hashes)
+    sig = minhash_signatures(docs, num_hashes=num_hashes,
+                             hash_fn=hash_fn)
     rows_per_band = num_hashes // bands
     band_cols = []
     for b in range(bands):
         cols = [f"sig_{b * rows_per_band + r}" for r in range(rows_per_band)]
+        if hash_fn == "md5":
+            bucket = F.md5(F.concat_ws("|", *cols))
+        else:
+            # native 64-bit band hash over the numeric sigs — no string
+            bucket = F.xxhash64(*cols).cast("string")
         band_cols.append(
-            F.struct(F.lit(b).alias("band"),
-                     F.md5(F.concat_ws("|", *cols)).alias("bucket"))
+            F.struct(F.lit(b).alias("band"), bucket.alias("bucket"))
         )
     buckets = sig.select(
         "doc_id", F.explode(F.array(*band_cols)).alias("bb")
