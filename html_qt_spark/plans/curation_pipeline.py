@@ -53,6 +53,11 @@ def run_curation_job(
     classifier_min_x1000: int | None = None,
     classifier_weights: list[float] | None = None,
     classifier_dim: int = 1024,
+    ppl_drop_tail: int | None = None,
+    ppl_n_buckets: int = 3,
+    dsir_target: DataFrame | None = None,
+    dsir_min_logw_x1000: int | None = None,
+    split_fractions: dict[str, float] | None = None,
     lsh_num_hashes: int = 16,
     lsh_bands: int = 4,
     alpha: float = 0.5,
@@ -68,7 +73,10 @@ def run_curation_job(
     short docs; production uses the published Gopher 50).  Optional
     stages switch off with None: ``para_max_doc_freq`` (paragraph
     boilerplate), ``max_per_source`` (domain caps), ``benchmark``
-    (decontamination).  Returns per-stage surviving doc counts.
+    (decontamination), ``ppl_drop_tail`` (CCNet perplexity tail drop),
+    ``dsir_target``+``dsir_min_logw_x1000`` (DSIR importance gate),
+    ``split_fractions`` (deterministic train/val/test layout).
+    Returns per-stage surviving doc counts.
     """
     stats: dict[str, int] = {}
 
@@ -127,6 +135,18 @@ def run_curation_job(
                            .select("doc_id", F.col("clean_text")
                                    .alias("text")), "doc_id"))
 
+    # 3c. optional CCNet perplexity gate: drop the noisiest
+    #     ``ppl_drop_tail`` of ``ppl_n_buckets`` per-language buckets
+    #     (one bigram-count join + one per-lang window)
+    if ppl_drop_tail is not None:
+        from html_qt_spark.operators.curation import perplexity_buckets
+
+        keep_max = ppl_n_buckets - ppl_drop_tail
+        pb = perplexity_buckets(cur, n_buckets=ppl_n_buckets)
+        cur = _count("ppl_gate", cur.join(
+            pb.where(F.col("ppl_bucket") <= keep_max)
+            .select("doc_id"), "doc_id"))
+
     # 4. exact dedup, first occurrence wins
     w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
     cur = _count("exact_dedup",
@@ -149,6 +169,18 @@ def run_curation_job(
                  .where("contaminated").select("doc_id"))
         cur = _count("decontaminated", cur.join(dirty, "doc_id",
                                                 "left_anti"))
+
+    # 6b. optional DSIR importance gate: keep documents whose hashed
+    #     n-gram features look at least ``dsir_min_logw_x1000`` more
+    #     target-like than raw (post-dedup: duplicate mass would skew
+    #     the raw distribution the weights divide by)
+    if dsir_target is not None and dsir_min_logw_x1000 is not None:
+        from html_qt_spark.operators.curation import dsir_logweights
+
+        dw = dsir_logweights(cur, dsir_target)
+        cur = _count("dsir_gate", cur.join(
+            dw.where(F.col("logw_x1000") >= dsir_min_logw_x1000)
+            .select("doc_id"), "doc_id"))
 
     # 7. language rebalancing (deterministic temperature sampling)
     cur = _count("rebalanced",
@@ -191,17 +223,27 @@ def run_curation_job(
     #    deterministic hash buckets per language restore it (shard
     #    identity is namespaced by the full partition tuple, so shards
     #    stay budget-bounded either way).
-    packed = pack_shards(
-        (counts.join(cur, "doc_id")
-         .withColumn("pack_bucket",
-                     F.pmod(F.xxhash64(F.col("doc_id").cast("string")),
-                            F.lit(pack_buckets)))),
-        token_budget=token_budget,
-        partition_cols=["lang", "pack_bucket"])
-    (packed.select("doc_id", "lang", "source", "text", "n_tokens",
-                   "pack_bucket", "shard_id")
-     .write.mode("overwrite").partitionBy("lang", "pack_bucket",
-                                          "shard_id")
+    to_pack = (counts.join(cur, "doc_id")
+               .withColumn("pack_bucket",
+                           F.pmod(F.xxhash64(
+                               F.col("doc_id").cast("string")),
+                               F.lit(pack_buckets))))
+    part_cols = ["lang", "pack_bucket"]
+    out_cols = ["doc_id", "lang", "source", "text", "n_tokens",
+                "pack_bucket", "shard_id"]
+    # optional deterministic train/val/test layout: the split joins the
+    # partition tuple so each split packs (and is read) independently
+    if split_fractions is not None:
+        from html_qt_spark.operators.curation import hash_split
+
+        to_pack = to_pack.join(
+            hash_split(cur, fractions=split_fractions), "doc_id")
+        part_cols = ["split"] + part_cols
+        out_cols = ["split"] + out_cols
+    packed = pack_shards(to_pack, token_budget=token_budget,
+                         partition_cols=part_cols)
+    (packed.select(*out_cols)
+     .write.mode("overwrite").partitionBy(*part_cols, "shard_id")
      .parquet(f"{out_dir}/shards"))
     if collect_stats:
         stats["written"] = spark.read.parquet(f"{out_dir}/shards").count()

@@ -151,3 +151,41 @@ def test_curation_job_classifier_gate(spark, tmp_path_factory):
     shards = spark.read.parquet(f"{out}/shards")
     scored = linear_classifier_score(shards.select("doc_id", "text"))
     assert scored.where("score_x1000 < 0").count() == 0
+
+
+def test_curation_job_r5_gates_and_split(spark, tmp_path_factory):
+    """Round-5 stages in the funnel: CCNet tail-bucket drop, DSIR
+    importance gate, and deterministic train/val/test shard layout —
+    monotone survivors, split-partitioned output, offsets intact."""
+    from pyspark.sql import functions as F
+
+    from html_qt_spark.plans.curation_pipeline import run_curation_job
+
+    out = str(tmp_path_factory.mktemp("curate_r5"))
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    target = docs.where("lang = 'en'")
+
+    stats = run_curation_job(
+        spark, docs, out, min_words=3, token_budget=512,
+        ppl_drop_tail=1, dsir_target=target,
+        dsir_min_logw_x1000=-10_000_000,
+        split_fractions={"train": 0.8, "val": 0.1, "test": 0.1})
+    order = ["input", "quality", "ppl_gate", "exact_dedup",
+             "near_dedup", "dsir_gate", "rebalanced"]
+    vals = [stats[k] for k in order]
+    assert vals == sorted(vals, reverse=True), stats
+    # tail drop removes ~1/3 of scored docs
+    assert stats["ppl_gate"] < stats["quality"]
+    assert stats["written"] > 0
+
+    shards = spark.read.parquet(f"{out}/shards")
+    assert set(shards.select("split").distinct().toPandas()["split"]) \
+        <= {"train", "val", "test"}
+    assert "train" in set(
+        r.split for r in shards.select("split").distinct().collect())
+    # shard ids are namespaced per (split, lang, pack_bucket): within
+    # each tuple the budget rule holds for multi-doc shards
+    over = (shards.groupBy("split", "lang", "pack_bucket", "shard_id")
+            .agg(F.sum("n_tokens").alias("t"), F.count("*").alias("n"))
+            .where("n > 1 AND t > 512 + 512").count())
+    assert over == 0
