@@ -2323,6 +2323,11 @@ def parse_fragment(html_text: str, *, context: str = "body",
     tb.open_elements.append(root)
     tb.fragment_root = root  # serialize/extract from here
     tb.mode = _FRAGMENT_MODE.get(ctx, "in_body")
+    if ctx == "template" and not reference_compat:
+        # spec 13.4 step 11: a template context seeds the stack of
+        # template insertion modes, so table-structure routing and
+        # nested-template closes resolve exactly as in a document
+        tb.template_modes.append("in_template")
     if ctx in ("svg", "math"):
         # children of a foreign context parse as foreign content: give the
         # dispatcher a foreign current node to route through (HTML

@@ -115,3 +115,24 @@ def test_fragment_context_spark_surface():
     assert got_ex == expected
     # and the context genuinely matters: document mode differs
     assert extract_html(html) != expected or True  # smoke: both parse
+
+
+def test_fragment_template_context_routes_table_structure():
+    """innerHTML on a <template> context (r5): table-structure start
+    tags route through the template insertion-mode stack, so <tr><td>
+    builds real rows at fragment top level; formatting and voids work
+    unchanged."""
+    from html_qt_spark.kernel.serialize import serialize_tree
+    from html_qt_spark.kernel.treebuilder import parse_fragment
+
+    cases = {
+        "<tr><td>cell": '| <tr>\n|   <td>\n|     "cell"',
+        "<col>": "| <col>",
+        "plain <b>text": '| "plain "\n| <b>\n|   "text"',
+        "<tbody><tr><td>x": '| <tbody>\n|   <tr>\n|     <td>\n'
+                            '|       "x"',
+    }
+    for frag, want in cases.items():
+        tb = parse_fragment(frag, context="template")
+        got = serialize_tree(tb, root=tb.fragment_root)
+        assert got == want, (frag, got)
