@@ -630,6 +630,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # piece stream so the oracle pins every boundary
         return textstats.bpe_apply(_docs(spark, sf))
 
+    def q_frequent_ngrams(spark, sf):
+        # corpus-wide boilerplate mining (r5): deterministic top-k
+        # 5-gram counts, TakeOrdered (partial top-k), never a full sort
+        return textstats.frequent_ngrams(_docs(spark, sf), n=5, k=20)
+
     def q_hash_split(spark, sf):
         # reproducible train/val/test assignment (r5): order- and
         # cluster-independent, md5_32 so the oracle recomputes it
@@ -736,6 +741,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new in round 5 --------------------------------------------
         "mask_runs_char": q_mask_runs_char,
         "hash_split": q_hash_split,
+        "frequent_ngrams": q_frequent_ngrams,
         "dsir_weights": q_dsir_weights,
         "ppl_buckets": q_ppl_buckets,
         # -- r4-green, kept in-cap (kernel-consuming extraction first) -
@@ -754,8 +760,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_subword": q_chunk_subword,
         "subword_tokens": q_subword_tokens,
         "pack_shards": q_pack_shards,
-        "kmv_distinct": q_kmv_distinct,
         # -- past the 50-row cap: all r4-driver-green ------------------
+        "kmv_distinct": q_kmv_distinct,
         "classifier_score": q_classifier_score,
         "media_decode": q_media_decode,
         "ivf_topk": q_ivf_topk,
@@ -1408,6 +1414,7 @@ def oracle_sql() -> dict[str, str]:
             "1 PRECEDING), 0) AS BIGINT) AS token_offset "
             "FROM packed"),
         "bpe_apply": _bpe_apply_oracle(),
+        "frequent_ngrams": "WITH ts AS (SELECT doc_id, list_filter(string_split(coalesce(text, ''), ' '), x -> x <> '') AS toks FROM documents), g AS (SELECT doc_id, array_to_string(toks[i:i+4], ' ') AS ngram FROM (SELECT doc_id, toks, unnest(range(1, greatest(len(toks) - 4, 0) + 1)) AS i FROM ts)) SELECT ngram, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs, CAST(count(*) AS BIGINT) AS n_occurrences FROM g GROUP BY ngram HAVING count(*) >= 2 ORDER BY n_occurrences DESC, n_docs DESC, ngram LIMIT 20",
         "hash_split": "WITH h AS (SELECT doc_id, ('0x' || substr(md5('split0:' || CAST(doc_id AS STRING)), 1, 8))::BIGINT % 1000000 AS hv FROM documents) SELECT doc_id, CASE WHEN hv < 900000 THEN 'train' WHEN hv < 950000 THEN 'val' ELSE 'test' END AS split FROM h",
         "mask_runs_char": "WITH t AS (SELECT doc_id, coalesce(text, '') AS tx FROM documents), gr AS (SELECT doc_id, i - 1 AS pos, md5(substr(tx, i, 16)) AS g FROM (SELECT doc_id, tx, unnest(range(1, len(tx) - 16 + 2)) AS i FROM t WHERE len(tx) >= 16)), dup AS (SELECT g FROM gr GROUP BY g HAVING count(DISTINCT doc_id) >= 2), hits AS (SELECT doc_id, list(pos ORDER BY pos) AS hs FROM gr JOIN dup USING (g) GROUP BY doc_id), j AS (SELECT t.doc_id, t.tx, coalesce(h.hs, CAST([] AS BIGINT[])) AS hs FROM t LEFT JOIN hits h USING (doc_id)), k AS (SELECT doc_id, tx, list_filter(range(0, len(tx)), i -> len(list_filter(hs, h -> h <= i AND i < h + 16)) = 0) AS keep FROM j) SELECT doc_id, coalesce(array_to_string(list_transform(keep, i -> substr(tx, CAST(i + 1 AS INT), 1)), ''), '') AS clean_text, CAST(len(tx) - len(keep) AS BIGINT) AS n_chars_masked FROM k",
         "dsir_weights": "WITH ts AS (SELECT doc_id, list_filter(string_split(coalesce(text, ''), ' '), x -> x <> '') AS toks FROM documents), g AS (SELECT doc_id, ('0x' || substr(md5(toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT) + 1]), 1, 8))::BIGINT % 256 AS b FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM ts WHERE len(toks) >= 2)), tg AS (SELECT g.b FROM g JOIN documents d USING (doc_id) WHERE d.lang = 'en'), rc AS (SELECT b, count(*) AS rcn FROM g GROUP BY b), tc AS (SELECT b, count(*) AS tcn FROM tg GROUP BY b), tot AS (SELECT (SELECT count(*) FROM g) AS nr, (SELECT count(*) FROM tg) AS nt), w AS (SELECT rc.b, ln((coalesce(tc.tcn, 0) + 1.0) / (tot.nt + 256.0)) - ln((rc.rcn + 1.0) / (tot.nr + 256.0)) AS lw FROM rc LEFT JOIN tc USING (b), tot), s AS (SELECT doc_id, count(*) AS n_grams, sum(lw) AS lw FROM g JOIN w USING (b) GROUP BY doc_id) SELECT d.doc_id, CAST(coalesce(s.n_grams, 0) AS BIGINT) AS n_grams, CASE WHEN s.n_grams > 0 THEN CAST(floor(round(s.lw, 6) * 1000) AS BIGINT) END AS logw_x1000 FROM documents d LEFT JOIN s USING (doc_id)",

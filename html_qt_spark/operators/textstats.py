@@ -921,3 +921,41 @@ def bpe_apply(docs: DataFrame,
         F.size(words).cast("long").alias("n_words"),
         F.size(pieces).cast("long").alias("n_pieces"),
         F.md5(F.concat_ws(s, pieces)).alias("pieces_hash"))
+
+
+def frequent_ngrams(docs: DataFrame, *, n: int = 5, k: int = 20,
+                    min_count: int = 2,
+                    text_col: str = "text") -> DataFrame:
+    """Corpus-wide top-k word n-grams — the boilerplate-mining pass a
+    curation pipeline runs to DISCOVER its removal rules (C4's "three
+    sentence" spans, licence blocks, cookie banners all surface here
+    before anyone writes a filter for them).
+
+    Plan: shuffle-free per-doc n-gram build (slice + transform over the
+    token array), one count aggregation on the Zipf-bounded gram table
+    (map-side combined), then a deterministic top-k — ORDER BY count
+    DESC with the gram string as tiebreak compiles to TakeOrdered
+    (per-partition partial top-k + driver merge of k rows, never a full
+    sort).  ``min_count`` prunes the singleton tail before the ordering
+    so the top-k heap never sees it.
+    Returns (ngram, n_docs, n_occurrences) — k rows.
+    """
+    toks = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), " "),
+        lambda t: t != "")
+    grams = docs.select("doc_id", toks.alias("_ts")).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.slice(F.col("_ts"), 1,
+                        F.greatest(F.size("_ts") - (n - 1), F.lit(0))),
+                lambda _x, i: F.concat_ws(
+                    " ", F.slice(F.col("_ts"), i + 1, n)),
+            )).alias("ngram"))
+    return (grams.groupBy("ngram")
+            .agg(F.countDistinct("doc_id").alias("n_docs"),
+                 F.count("*").alias("n_occurrences"))
+            .where(F.col("n_occurrences") >= min_count)
+            .orderBy(F.col("n_occurrences").desc(),
+                     F.col("n_docs").desc(), "ngram")
+            .limit(k))

@@ -199,3 +199,24 @@ def test_linear_classifier_score_plan_and_weights(spark):
 
     with __import__("pytest").raises(ValueError):
         linear_classifier_score(docs, dim=8, weights=[1.0])
+
+
+def test_frequent_ngrams_finds_planted_boilerplate(spark):
+    """Boilerplate mining: a licence line shared by many docs tops the
+    n-gram table; the plan is a TakeOrdered partial top-k, never a
+    global Sort of the gram table."""
+    from html_qt_spark.operators.textstats import frequent_ngrams
+
+    lic = "all rights reserved by the original author"
+    rows = ([(i, f"doc {i} body text {lic}") for i in range(30)]
+            + [(100 + i, f"unique words only here variant {i} "
+                f"alpha{i} beta{i} gamma{i} delta{i}")
+               for i in range(10)])
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    top = frequent_ngrams(docs, n=5, k=5).collect()
+    assert top[0].n_occurrences >= 30
+    assert all(w in lic or w == "text" or w == "body"
+               for w in top[0].ngram.split())
+    plan = frequent_ngrams(docs, n=5, k=5) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
