@@ -236,7 +236,7 @@ class TreeBuilder:
         "mode", "original_mode", "frameset_ok", "foster_parenting",
         "head_id", "form_id", "pending_table_text", "ignore_lf",
         "quirks_mode", "doctype", "errors", "done", "fragment_root",
-        "template_content", "template_modes",
+        "template_content", "template_modes", "fragment_context",
     )
 
     def __init__(self, *, reference_compat: bool = False,
@@ -276,6 +276,9 @@ class TreeBuilder:
         # template swap the top for the matching table mode so <tr>/<td>
         # fragments parse as they would in a table (spec 13.2.4.1)
         self.template_modes: list[str] = []
+        # fragment parsing: the context element's tag name — the reset
+        # algorithm substitutes it for the root node (spec 13.2.4.1)
+        self.fragment_context: str | None = None
 
     # ------------------------------------------------------------ plumbing
 
@@ -634,7 +637,9 @@ class TreeBuilder:
                     self.parent[last_node] = parent_id
                     self.children[parent_id].insert(index, last_node)
             else:
-                self._append(last_node, common_ancestor)
+                # a <template> common ancestor never receives children
+                # directly — redirect into its #content fragment
+                self._append(last_node, self._content_of(common_ancestor))
 
             # new clone of fmt; move furthest-block children into it
             # (this is the reparentChildren move, html-qt/htmltree.cpp:126-132)
@@ -676,6 +681,10 @@ class TreeBuilder:
             nid = self.open_elements[idx]
             t = self.tag[nid]
             last = idx == 0
+            if last and self.fragment_context is not None:
+                # spec 13.2.4.1 fragment case: the ROOT node stands in
+                # for the fragment's context element
+                t = self.fragment_context
             if t == "select":
                 self.mode = "in_select"
                 return
@@ -1662,21 +1671,40 @@ class TreeBuilder:
     def _char_in_template(self, data: str) -> int:
         return self._char_in_body(data)
 
+    # start tags the spec routes to the in-head rules from in_template
+    # WITHOUT touching the template insertion-mode stack
+    _TEMPLATE_HEADISH = frozenset(
+        """base basefont bgsound link meta noframes script style
+        template title""".split())
+
     def _tag_in_template(self, tok: tuple) -> None:
         kind, name = tok[0], tok[1]
-        if name == "template":
-            if kind == "EndTag":
-                self._generate_implied_end(thorough=True)
-                if self.tag[self._current()] != "template":
-                    self._err("unexpected-end-tag-in-template")
-                self._pop_until("template")
-                self._clear_formatting_to_marker()
-                if self.template_modes:
-                    self.template_modes.pop()
-                self._reset_insertion_mode()
+        if name == "template" and kind == "EndTag":
+            if not any(self.tag[nid] == "template"
+                       for nid in self.open_elements):
+                # spec: no template on the open stack -> error, ignore
+                # (critical for template-context fragments, where a
+                # stray </template> must NOT reset the insertion mode
+                # and synthesize head/body inside the fragment)
+                self._err("unexpected-end-tag-in-template")
                 return
-            # nested template: handled by the in_head branch via in_body
+            self._generate_implied_end(thorough=True)
+            if self.tag[self._current()] != "template":
+                self._err("unexpected-end-tag-in-template")
+            self._pop_until("template")
+            self._clear_formatting_to_marker()
+            if self.template_modes:
+                self.template_modes.pop()
+            self._reset_insertion_mode()
+            return
         if kind == "StartTag":
+            if name in self._TEMPLATE_HEADISH:
+                # in-head rules, current template insertion mode KEPT:
+                # <script>/<style>/<meta>/nested <template>/... inside
+                # template content must not clobber the table routing
+                # for tags that follow them
+                self._tag_in_head(tok)
+                return
             # spec in-template routing: table-structure start tags swap
             # the current template insertion mode for the matching
             # table mode and reprocess there, so template contents like
@@ -2322,6 +2350,7 @@ def parse_fragment(html_text: str, *, context: str = "body",
     tb._append(root, 0)
     tb.open_elements.append(root)
     tb.fragment_root = root  # serialize/extract from here
+    tb.fragment_context = ctx
     tb.mode = _FRAGMENT_MODE.get(ctx, "in_body")
     if ctx == "template" and not reference_compat:
         # spec 13.4 step 11: a template context seeds the stack of

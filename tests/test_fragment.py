@@ -136,3 +136,19 @@ def test_fragment_template_context_routes_table_structure():
         tb = parse_fragment(frag, context="template")
         got = serialize_tree(tb, root=tb.fragment_root)
         assert got == want, (frag, got)
+
+
+def test_fragment_template_context_end_tag_and_reset():
+    """r5 review fixes: a stray </template> in a template-context
+    fragment is ignored (no head/body synthesis inside the fragment),
+    and content after a closed inner template stays a fragment-level
+    sibling — the reset algorithm substitutes the context element for
+    the root."""
+    from html_qt_spark.kernel.serialize import serialize_tree
+    from html_qt_spark.kernel.treebuilder import parse_fragment
+
+    tb = parse_fragment("<template>x</template>y", context="template")
+    assert serialize_tree(tb, root=tb.fragment_root) == \
+        '| <template>\n|   content\n|     "x"\n| "y"'
+    tb = parse_fragment("a</template>b", context="template")
+    assert serialize_tree(tb, root=tb.fragment_root) == '| "ab"'
