@@ -866,7 +866,7 @@ def _bpe_apply_oracle() -> str:
     )
 
     s = _BPE_SEP
-    expr = f"regexp_replace(w, '(.)', '{s}\\1{s}', 'g')"
+    expr = f"regexp_replace(w, '(?s)(.)', '{s}\\1{s}', 'g')"
     for left, right in BPE_FIXED_MERGES:
         expr = (f"replace({expr}, '{s}{left}{s}{s}{right}{s}', "
                 f"'{s}{left}{right}{s}')")

@@ -413,17 +413,27 @@ def dsir_logweights(docs: DataFrame, target: DataFrame, *,
     tgt_g = _hashed_bigram_buckets(target, buckets=buckets,
                                    text_col=text_col, id_col=id_col,
                                    hash_fn=hash_fn)
-    raw_c = raw_g.groupBy("b").agg(F.count("*").alias("rc"))
-    tgt_c = tgt_g.groupBy("b").agg(F.count("*").alias("tc"))
-    raw_n = raw_g.count()
-    tgt_n = tgt_g.count()
-    w = (raw_c.join(tgt_c, "b", "left")
-         .select("b",
-                 (F.log((F.coalesce(F.col("tc"), F.lit(0)) + alpha)
-                        / F.lit(tgt_n + alpha * buckets))
-                  - F.log((F.col("rc") + alpha)
-                          / F.lit(raw_n + alpha * buckets)))
-                 .alias("lw")))
+    # ONE aggregation pass per gram stream: the <=buckets-row count
+    # tables are collected (bounded, index-sized) and totals derived
+    # from them — running separate .count() actions over the
+    # corpus-sized gram streams would cost two whole extra scans
+    raw_rows = raw_g.groupBy("b").agg(F.count("*").alias("rc")).collect()
+    tgt_rows = tgt_g.groupBy("b").agg(F.count("*").alias("tc")).collect()
+    raw_n = sum(r.rc for r in raw_rows)
+    tgt_n = sum(r.tc for r in tgt_rows)
+    import math
+
+    tgt_by_b = {r.b: r.tc for r in tgt_rows}
+    w_rows = [
+        (r.b,
+         math.log((tgt_by_b.get(r.b, 0) + alpha)
+                  / (tgt_n + alpha * buckets))
+         - math.log((r.rc + alpha) / (raw_n + alpha * buckets)))
+        for r in raw_rows
+    ]
+    w = docs.sparkSession.createDataFrame(w_rows, ["b", "lw"]) \
+        if w_rows else docs.sparkSession.createDataFrame(
+            [], "b long, lw double")
     s = (raw_g.join(F.broadcast(w), "b")
          .groupBy(id_col)
          .agg(F.count("*").alias("n_grams"),
@@ -485,7 +495,9 @@ def hash_split(docs: DataFrame, *,
     names = list(fractions)
     for name in names[:-1]:
         acc += fractions[name]
-        cond = h < int(acc * m)
+        # round, not truncate: int(0.29*1e6) is 289999 under binary
+        # float, silently moving the boundary bucket
+        cond = h < round(acc * m)
         expr = F.when(cond, name) if expr is None else \
             expr.when(cond, name)
     last = F.lit(names[-1]) if expr is None else \

@@ -474,6 +474,27 @@ def connected_components_star(pairs: DataFrame, *, max_iter: int = 40,
                     .alias("component_id")))
 
 
+def _merge_hit_intervals(hits_arr, n: int):
+    """Collapse a SORTED array of hit start positions into disjoint
+    mask intervals [s, s+n) (overlapping/adjacent hits merge — all
+    spans share length ``n``, so interval ends are monotone and a new
+    hit either extends the last interval or opens a fresh one).
+    Shared by the token- and char-level ExactSubstr maskers."""
+    return F.aggregate(
+        hits_arr,
+        F.array().cast("array<struct<s:int,e:int>>"),
+        lambda acc, h: F.when(
+            (F.size(acc) > 0) & (h <= F.element_at(acc, -1)["e"]),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(F.struct(
+                    F.element_at(acc, -1)["s"].alias("s"),
+                    (h + n).cast("int").alias("e")))))
+        .otherwise(F.concat(acc, F.array(F.struct(
+            h.cast("int").alias("s"),
+            (h + n).cast("int").alias("e"))))))
+
+
 def mask_common_runs(docs: DataFrame, *, n: int = 10,
                      min_docs: int = 2,
                      text_col: str = "text",
@@ -529,22 +550,7 @@ def mask_common_runs(docs: DataFrame, *, n: int = 10,
     joined = base.join(hits, id_col, "left")
     hits_arr = F.coalesce(F.col("_hits"),
                           F.array().cast("array<int>"))
-    # interval-merge pre-pass: hits are sorted ascending and all spans
-    # have length n, so ends are monotone — a new hit either extends
-    # the last interval (h <= last.e) or opens a fresh one
-    ivs = F.aggregate(
-        hits_arr,
-        F.array().cast("array<struct<s:int,e:int>>"),
-        lambda acc, h: F.when(
-            (F.size(acc) > 0) & (h <= F.element_at(acc, -1)["e"]),
-            F.concat(
-                F.slice(acc, 1, F.size(acc) - 1),
-                F.array(F.struct(
-                    F.element_at(acc, -1)["s"].alias("s"),
-                    (h + n).cast("int").alias("e")))))
-        .otherwise(F.concat(acc, F.array(F.struct(
-            h.cast("int").alias("s"),
-            (h + n).cast("int").alias("e"))))))
+    ivs = _merge_hit_intervals(hits_arr, n)
     keep = F.filter(
         F.transform("_ts",
                     lambda t, i: F.struct(t.alias("t"),
@@ -604,20 +610,7 @@ def mask_common_runs_chars(docs: DataFrame, *, n: int = 20,
     joined = base.join(hits, id_col, "left")
     hits_arr = F.coalesce(F.col("_hits"),
                           F.array().cast("array<int>"))
-    # merge sorted hit starts into disjoint [s, s+n) intervals
-    ivs = F.aggregate(
-        hits_arr,
-        F.array().cast("array<struct<s:int,e:int>>"),
-        lambda acc, h: F.when(
-            (F.size(acc) > 0) & (h <= F.element_at(acc, -1)["e"]),
-            F.concat(
-                F.slice(acc, 1, F.size(acc) - 1),
-                F.array(F.struct(
-                    F.element_at(acc, -1)["s"].alias("s"),
-                    (h + n).cast("int").alias("e")))))
-        .otherwise(F.concat(acc, F.array(F.struct(
-            h.cast("int").alias("s"),
-            (h + n).cast("int").alias("e"))))))
+    ivs = _merge_hit_intervals(hits_arr, n)
     # complement into keep segments [prev_end, s) + tail [last_end, len)
     segs = F.aggregate(
         ivs,

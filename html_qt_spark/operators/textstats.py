@@ -903,7 +903,11 @@ def bpe_apply(docs: DataFrame,
     s = _BPE_SEP
 
     def tokenize(w):
-        expr = F.regexp_replace(w, "(.)", s + "$1" + s)
+        # (?s): '.' must match line terminators too — a token can carry
+        # \n/\r (text splits on spaces only), and Java vs RE2 disagree
+        # on which terminators '.' excludes, so without dotall the two
+        # engines would hash different piece streams
+        expr = F.regexp_replace(w, "(?s)(.)", s + "$1" + s)
         for left, right in merges:
             expr = F.replace(
                 expr,

@@ -143,9 +143,12 @@ def run_curation_job(
 
         keep_max = ppl_n_buckets - ppl_drop_tail
         pb = perplexity_buckets(cur, n_buckets=ppl_n_buckets)
+        # anti-join the DROP set: docs the scorer omitted (<2 tokens,
+        # no bigram row) were never judged and must pass through —
+        # an inner join on the keep set would silently delete them
         cur = _count("ppl_gate", cur.join(
-            pb.where(F.col("ppl_bucket") <= keep_max)
-            .select("doc_id"), "doc_id"))
+            pb.where(F.col("ppl_bucket") > keep_max)
+            .select("doc_id"), "doc_id", "left_anti"))
 
     # 4. exact dedup, first occurrence wins
     w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
@@ -178,9 +181,11 @@ def run_curation_job(
         from html_qt_spark.operators.curation import dsir_logweights
 
         dw = dsir_logweights(cur, dsir_target)
+        # drop-set anti-join for the same reason as the ppl gate:
+        # NULL-scored (gram-less) docs are kept, not silently dropped
         cur = _count("dsir_gate", cur.join(
-            dw.where(F.col("logw_x1000") >= dsir_min_logw_x1000)
-            .select("doc_id"), "doc_id"))
+            dw.where(F.col("logw_x1000") < dsir_min_logw_x1000)
+            .select("doc_id"), "doc_id", "left_anti"))
 
     # 7. language rebalancing (deterministic temperature sampling)
     cur = _count("rebalanced",

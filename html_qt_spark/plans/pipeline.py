@@ -52,9 +52,13 @@ def _sink(out_dir: str, name: str) -> str:
 def _write(df: DataFrame, target: str, mode: str = "append") -> None:
     if target.startswith("iceberg:"):
         tbl = target[len("iceberg:"):]
-        try:
+        # create only when the table genuinely does not exist — a bare
+        # try/create would bury real append failures (schema drift,
+        # commit conflicts, catalog misconfiguration) under a confusing
+        # "table already exists" from the retry
+        if df.sparkSession.catalog.tableExists(tbl):
             df.writeTo(tbl).append()
-        except Exception:  # noqa: BLE001 — first write creates the table
+        else:
             df.writeTo(tbl).create()
         return
     df.write.mode(mode).parquet(target)

@@ -147,6 +147,21 @@ def pruned_store_read(spark: SparkSession, bucket_store: str,
     with the batch's prefix spread, not with stream lifetime.
     (Exposed at module level so tests can assert on ``inputFiles()``.)
     """
+    from pathlib import Path
+
+    # layout guard: stores written before the 'p'-prefixed scheme have
+    # pfx=<band><hex> directories the new prefixes can never match — a
+    # pruned read against them would silently see zero history and let
+    # every cross-batch duplicate through.  Fall back to an unpruned
+    # (correct, just slower) read until a compaction rewrites the
+    # layout; compact_bucket_store recomputes pfx from the bucket
+    # column, so one compaction migrates the store.
+    legacy = any(p.name.startswith("pfx=")
+                 and p.name[len("pfx="):][:1].isdigit()
+                 for p in Path(bucket_store).iterdir())
+    if legacy:
+        return spark.read.parquet(bucket_store).select("bucket") \
+            .withColumn("pfx", _bucket_pfx(F.col("bucket")))
     return (spark.read.parquet(bucket_store)
             .where(F.col("pfx").isin(pfxs)))
 
@@ -170,7 +185,11 @@ def compact_bucket_store(spark: SparkSession, bucket_store: str) -> None:
     tmp = bucket_store + ".compact"
     old = bucket_store + ".old"
     shutil.rmtree(tmp, ignore_errors=True)
-    (spark.read.parquet(bucket_store).distinct()
+    # recompute pfx from the bucket column (authoritative) rather than
+    # trusting the stored partition value: this migrates any
+    # legacy-layout directories to the current scheme in one pass
+    (spark.read.parquet(bucket_store).select("bucket").distinct()
+     .withColumn("pfx", _bucket_pfx(F.col("bucket")))
      .repartition("pfx")
      .write.mode("overwrite").partitionBy("pfx").parquet(tmp))
     shutil.rmtree(old, ignore_errors=True)

@@ -189,3 +189,27 @@ def test_curation_job_r5_gates_and_split(spark, tmp_path_factory):
             .agg(F.sum("n_tokens").alias("t"), F.count("*").alias("n"))
             .where("n > 1 AND t > 512 + 512").count())
     assert over == 0
+
+
+def test_pipeline_gates_keep_unscored_docs(spark, tmp_path_factory):
+    """Review fix: a doc too short to receive a bigram/DSIR score was
+    never judged — the gates must pass it through, not silently drop it
+    via an inner join on the scored keep-set."""
+    from pyspark.sql import functions as F
+
+    from html_qt_spark.plans.curation_pipeline import run_curation_job
+
+    out = str(tmp_path_factory.mktemp("curate_unscored"))
+    base = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet") \
+        .select("doc_id", "text", "lang", "source").limit(60)
+    oneword = spark.createDataFrame(
+        [(990001, "solitary", "en", "src-x")],
+        ["doc_id", "text", "lang", "source"])
+    docs = base.unionByName(oneword)
+    stats = run_curation_job(
+        spark, docs, out, min_words=1, token_budget=512, alpha=1.0,
+        ppl_drop_tail=1, dsir_target=docs.where("lang = 'en'"),
+        dsir_min_logw_x1000=-10_000_000)
+    shards = spark.read.parquet(f"{out}/shards")
+    assert shards.where(F.col("doc_id") == 990001).count() == 1, stats

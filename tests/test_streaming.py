@@ -363,3 +363,41 @@ def test_bucket_pfx_survives_type_inference_and_wide_bands(spark, tmp_path):
     assert [r.bucket for r in
             pruned_store_read(spark, store, ["p07"]).collect()] == \
         ["0:7fc1"]
+
+
+def test_bucket_store_legacy_layout_reads_full_and_compacts_forward(
+        spark, tmp_path):
+    """Review fix: a store written under the pre-'p' digit-prefix
+    scheme must not be silently orphaned — reads fall back to an
+    unpruned (correct) scan, and one compaction migrates the layout to
+    the current prefixes."""
+    from pyspark.sql import functions as F
+
+    from html_qt_spark.streaming.dedup_stream import (
+        _bucket_pfx,
+        compact_bucket_store,
+        pruned_store_read,
+    )
+
+    store = str(tmp_path / "store")
+    legacy = spark.createDataFrame(
+        [("0:7fc1",), ("3:abcd",)], ["bucket"])
+    # old scheme: pfx = band digit + first hex char (no 'p')
+    (legacy.withColumn(
+        "pfx", F.concat(F.substring("bucket", 1, 1),
+                        F.substring("bucket", 3, 1)))
+     .write.mode("append").partitionBy("pfx").parquet(store))
+    # pruned read with NEW prefixes still sees the history
+    got = {r.bucket for r in
+           pruned_store_read(spark, store, ["p07"]).collect()}
+    assert got == {"0:7fc1", "3:abcd"}
+    # compaction rewrites to the current scheme
+    compact_bucket_store(spark, store)
+    from pathlib import Path
+
+    dirs = sorted(p.name for p in Path(store).iterdir()
+                  if p.name.startswith("pfx="))
+    assert dirs == ["pfx=p07", "pfx=p3a"]
+    assert [r.bucket for r in
+            pruned_store_read(spark, store, ["p07"]).collect()] == \
+        ["0:7fc1"]
