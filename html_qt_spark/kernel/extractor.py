@@ -92,15 +92,24 @@ def extract_spans(
     min_words: int = 1,
     keep_boilerplate_containers: bool = False,
 ) -> list[tuple[str, str | None, str | None]]:
-    """DOM arrays -> ordered list of (kind, text, media_ref) spans."""
+    """DOM arrays -> ordered list of (kind, text, media_ref) spans.
+
+    Single fused pass: the DFS visits nodes in document order, so block
+    assembly runs inline at each text/media/block event instead of
+    materializing an intermediate event list (the flush sites below are
+    the inlined equivalent of the former replay loop's flush()).
+    """
     tag = tb.tag
     children = tb.children
     text = tb.text
     attrs = tb.attrs
 
-    # events in document order: ("block_text", block_id, text, in_link)
-    #                        or ("media", ref, alt_text)
-    events: list[tuple] = []
+    spans: list[tuple[str, str | None, str | None]] = []
+    cur_block = -1
+    cur_parts: list[str] = []
+    cur_link_words = 0
+    cur_words = 0
+
     cls_get = _TAG_CLASS.get
     # iterative DFS with (node, block_id, link_depth, boiler_depth)
     stack: list[tuple[int, int, int, int]] = [(0, 0, 0, 0)]
@@ -110,8 +119,25 @@ def extract_spans(
         if cls:
             if cls & _C_TEXT:
                 if boiler_depth == 0 or keep_boilerplate_containers:
-                    events.append(
-                        ("text", block_id, text[nid], link_depth > 0))
+                    if block_id != cur_block:
+                        # flush: previous block ended
+                        if cur_parts:
+                            block_text = _norm("".join(cur_parts))
+                            if block_text and cur_words >= min_words \
+                                    and (cur_link_words
+                                         / (cur_words or 1)
+                                         <= max_link_density):
+                                spans.append(("text", block_text, None))
+                            cur_parts = []
+                            cur_link_words = 0
+                            cur_words = 0
+                        cur_block = block_id
+                    data = text[nid]
+                    cur_parts.append(data)
+                    w = len(data.split())
+                    cur_words += w
+                    if link_depth:
+                        cur_link_words += w
                 continue
             if cls & _C_SKIP:
                 continue
@@ -123,7 +149,18 @@ def extract_spans(
                             or keep_boilerplate_containers):
                     alt = next((v for k, v in (attrs[nid] or [])
                                 if k == "alt"), None)
-                    events.append(("media", nid, ref, alt))
+                    # flush, then emit the media span at its position
+                    if cur_parts:
+                        block_text = _norm("".join(cur_parts))
+                        if block_text and cur_words >= min_words \
+                                and (cur_link_words / (cur_words or 1)
+                                     <= max_link_density):
+                            spans.append(("text", block_text, None))
+                        cur_parts = []
+                        cur_link_words = 0
+                        cur_words = 0
+                    cur_block = -1
+                    spans.append(("media", _norm(alt) if alt else None, ref))
                 # fall through: <object>/<video> children may hold
                 # text/sources
             if cls & _C_BOILER:
@@ -137,51 +174,29 @@ def extract_spans(
                 # by an intervening (possibly empty) block element would
                 # merge (found by the independent recursive oracle,
                 # tests/oracle.py)
-                events.append(("flush",))
-        for ch in reversed(children[nid]):
-            stack.append((ch, block_id, link_depth, boiler_depth))
-
-    # assemble blocks in document order, interleaving media spans
-    spans: list[tuple[str, str | None, str | None]] = []
-    cur_block = -1
-    cur_parts: list[str] = []
-    cur_link_words = 0
-    cur_words = 0
-
-    def flush() -> None:
-        nonlocal cur_parts, cur_link_words, cur_words
-        if cur_parts:
-            block_text = _norm("".join(cur_parts))
-            if block_text:
-                n = cur_words if cur_words else 1
-                density = cur_link_words / n
-                if cur_words >= min_words and density <= max_link_density:
-                    spans.append(("text", block_text, None))
-        cur_parts = []
-        cur_link_words = 0
-        cur_words = 0
-
-    for ev in events:
-        if ev[0] == "flush":
-            flush()
-            cur_block = -1
-            continue
-        if ev[0] == "text":
-            _, block_id, data, in_link = ev
-            if block_id != cur_block:
-                flush()
-                cur_block = block_id
-            cur_parts.append(data)
-            w = len(data.split())
-            cur_words += w
-            if in_link:
-                cur_link_words += w
-        else:  # media
-            _, _nid, ref, alt = ev
-            flush()
-            cur_block = -1
-            spans.append(("media", _norm(alt) if alt else None, ref))
-    flush()
+                if cur_parts:
+                    block_text = _norm("".join(cur_parts))
+                    if block_text and cur_words >= min_words \
+                            and (cur_link_words / (cur_words or 1)
+                                 <= max_link_density):
+                        spans.append(("text", block_text, None))
+                    cur_parts = []
+                    cur_link_words = 0
+                    cur_words = 0
+                cur_block = -1
+        kids = children[nid]
+        if kids:
+            if len(kids) == 1:
+                stack.append((kids[0], block_id, link_depth, boiler_depth))
+            else:
+                for ch in reversed(kids):
+                    stack.append((ch, block_id, link_depth, boiler_depth))
+    # final flush
+    if cur_parts:
+        block_text = _norm("".join(cur_parts))
+        if block_text and cur_words >= min_words \
+                and (cur_link_words / (cur_words or 1) <= max_link_density):
+            spans.append(("text", block_text, None))
     return spans
 
 

@@ -560,6 +560,14 @@ class TreeBuilder:
                 self._any_other_end_tag(name)
                 return
             fmt_id = fmt_entry[0]
+            if self.open_elements and fmt_id == self.open_elements[-1]:
+                # degenerate steps: fmt IS the current node — it is on the
+                # stack and trivially in scope, and no element sits below
+                # it, so there is no furthest block: pop it and drop its
+                # AFE entry (the well-formed </a>/</b> case)
+                self.open_elements.pop()
+                self.active_formatting.remove(fmt_entry)
+                return
             if fmt_id not in self.open_elements:
                 self._err("adoption-agency-1.2")
                 self.active_formatting.remove(fmt_entry)
@@ -732,17 +740,40 @@ class TreeBuilder:
         if self.reference_compat:
             self._process_compat(tokens)
             return
+        # hot loop: _process_token/_process_chars bodies inlined for the
+        # dominant cases (plain HTML, in_body) — identical dispatch order,
+        # one call frame less per token.  The out-of-line methods remain
+        # the single source of truth for every reprocess site.
+        tag_dispatch = self._TAG_DISPATCH
+        ns = self.ns
+        open_elements = self.open_elements
         for tok in tokens:
             kind = tok[0]
             if kind == "Character":
+                if (not self.ignore_lf and self.mode == "in_body"
+                        and open_elements
+                        and ns[open_elements[-1]] == "html"):
+                    # inlined _char_in_body fast path (no NUL)
+                    data = tok[1]
+                    if data and "\x00" not in data:
+                        if self.active_formatting:
+                            self._reconstruct_formatting()
+                        self._insert_text(data)
+                        if data.strip(_WS):
+                            self.frameset_ok = False
+                        continue
                 self._process_chars(tok[1])
-            elif kind == "StartTag":
-                self._process_token(tok)
+            elif kind == "StartTag" or kind == "EndTag":
+                # inlined _process_token
+                self.ignore_lf = False
+                if (open_elements and ns[open_elements[-1]] != "html"
+                        and not self._use_html_rules(tok)):
+                    self._process_foreign_tag(tok)
+                else:
+                    tag_dispatch[self.mode](self, tok)
                 # RCDATA/RAWTEXT/script tags flip us into text mode; the
                 # tokenizer already emitted their contents as one Character
                 # token, which the next loop iteration routes to mode 'text'.
-            elif kind == "EndTag":
-                self._process_token(tok)
             elif kind == "Comment":
                 self._mode_comment(tok[1])
             elif kind == "DOCTYPE":
@@ -2369,6 +2400,9 @@ def parse_fragment(html_text: str, *, context: str = "body",
     return tb
 
 
+_try_fast_parse = None
+
+
 def parse(html_text: str, *, reference_compat: bool = False,
           collect_errors: bool = True) -> TreeBuilder:
     """Parse one document: tokenizer → tree builder.
@@ -2378,7 +2412,18 @@ def parse(html_text: str, *, reference_compat: bool = False,
     materialized list (the reference's dead ``tokenQueue``,
     htmltokenizer_p.h:163, done right) so the tree builder is a separate,
     testable stage.
+
+    When no parse errors are requested, simple well-formed fragments
+    take the fused fast path (kernel/fastparse.py) which bails back
+    here on anything outside its provably-identical grammar.
     """
+    if not collect_errors and not reference_compat:
+        global _try_fast_parse
+        if _try_fast_parse is None:
+            from .fastparse import try_fast_parse as _try_fast_parse  # noqa: PLW0603
+        tb = _try_fast_parse(html_text)
+        if tb is not None:
+            return tb
     tk = HTMLTokenizer(html_text, reference_compat=reference_compat,
                        collect_errors=collect_errors)
     tokens, _tok_errors = tk.run()

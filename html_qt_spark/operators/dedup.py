@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..plans.spread import spread_input
+
 
 def exact_dedup(docs: DataFrame) -> DataFrame:
     """md5-fingerprint groups: (fp, dup_count, keep_id).
@@ -32,7 +34,7 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
 
 
 def _tokens(docs: DataFrame) -> DataFrame:
-    return docs.select(
+    return spread_input(docs, "doc_id").select(
         "doc_id", F.explode(F.split("text", " ")).alias("tok")
     ).filter(F.col("tok") != "")
 
@@ -46,7 +48,7 @@ def shingles(docs: DataFrame, *, n: int = 3) -> DataFrame:
     vocabulary (every doc collides); n>=3 keeps LSH candidate sets sparse.
     Docs with fewer than n tokens emit no shingles.
     """
-    toks = docs.select(
+    toks = spread_input(docs, "doc_id").select(
         "doc_id",
         F.filter(F.split("text", " "), lambda t: t != "").alias("ts"),
     )
@@ -79,21 +81,43 @@ def minhash_signatures(docs: DataFrame, *, num_hashes: int = 8,
     fold in a single aggregation pass (min over the multiset equals
     min over the set, so no distinct needed).
     """
-    sh = shingles(docs, n=shingle_n)
     if hash_fn == "md5":
+        sh = shingles(docs, n=shingle_n)
         aggs = [
             F.min(F.md5(F.concat(F.lit(str(j) + ":"),
                                  F.col("shingle"))))
             .alias(f"sig_{j}")
             for j in range(num_hashes)
         ]
-    else:
-        aggs = [
-            F.min(F.xxhash64(F.lit(str(j) + ":"), F.col("shingle")))
-            .alias(f"sig_{j}")
-            for j in range(num_hashes)
-        ]
-    return sh.groupBy("doc_id").agg(*aggs)
+        return sh.groupBy("doc_id").agg(*aggs)
+    # xxhash64 family: hash each shingle ONCE — directly over the sliced
+    # token array, so no n-gram string is ever concatenated — then derive
+    # the k signature values by re-hashing the 64-bit digest with the
+    # hash index (12 bytes instead of the whole shingle, k times per
+    # shingle).  Classic one-hash + k-derived-permutations MinHash; the
+    # family changes, the MinHash semantics (identical docs -> identical
+    # signatures, per-hash minima over the shingle set) do not —
+    # tests/test_minhash_family.py pins the family-invariant properties
+    # against the md5 oracle family.
+    n = shingle_n
+    toks = spread_input(docs, "doc_id").select(
+        "doc_id",
+        F.filter(F.split("text", " "), lambda t: t != "").alias("ts"),
+    )
+    hashed = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.slice("ts", 1, F.greatest(F.size("ts") - (n - 1), F.lit(0))),
+                lambda _x, i: F.xxhash64(F.slice("ts", i + 1, n)),
+            )
+        ).alias("h0"),
+    )
+    aggs = [
+        F.min(F.xxhash64(F.lit(j), F.col("h0"))).alias(f"sig_{j}")
+        for j in range(num_hashes)
+    ]
+    return hashed.groupBy("doc_id").agg(*aggs)
 
 
 def minhash_lsh_pairs(docs: DataFrame, *, num_hashes: int = 16,

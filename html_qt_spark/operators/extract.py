@@ -86,8 +86,10 @@ def extract_spans_doc(df: DataFrame, *, reference_compat: bool = False,
     failing the task.
     """
 
-    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def process(batches):
         # import inside the worker so the kernel ships via --py-files
+        import pyarrow as pa
+
         from html_qt_spark.kernel.extractor import extract_html
 
         memo: dict[str, list] | None = {} if memoize_spans else None
@@ -111,7 +113,8 @@ def extract_spans_doc(df: DataFrame, *, reference_compat: bool = False,
                 memo[html] = spans
             return spans
 
-        for pdf in batches:
+        str_t, int_t = pa.string(), pa.int32()
+        for rb in batches:
             doc_ids: list[str] = []
             span_idxs: list[int] = []
             kinds: list[str] = []
@@ -128,8 +131,9 @@ def extract_spans_doc(df: DataFrame, *, reference_compat: bool = False,
                 offsets.append(offset)
 
             for doc_id, s_kinds, s_texts, s_refs, s_offsets in zip(
-                    pdf["doc_id"], pdf["_kinds"], pdf["_texts"],
-                    pdf["_refs"], pdf["_offsets"]):
+                    rb.column(0).to_pylist(), rb.column(1).to_pylist(),
+                    rb.column(2).to_pylist(), rb.column(3).to_pylist(),
+                    rb.column(4).to_pylist()):
                 idx = 0
                 if s_kinds is None:
                     continue
@@ -156,16 +160,20 @@ def extract_spans_doc(df: DataFrame, *, reference_compat: bool = False,
                     del texts[mark:], refs[mark:], offsets[mark:]
                     emit(doc_id, 0, QUARANTINE_KIND,
                          f"{type(exc).__name__}:{exc}"[:512], None, 0)
-            yield pd.DataFrame({
-                "doc_id": doc_ids, "span_idx": span_idxs, "kind": kinds,
-                "text": texts, "media_ref": refs, "offset": offsets,
-            })
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(doc_ids, str_t), pa.array(span_idxs, int_t),
+                 pa.array(kinds, str_t), pa.array(texts, str_t),
+                 pa.array(refs, str_t), pa.array(offsets, int_t)],
+                names=["doc_id", "span_idx", "kind", "text",
+                       "media_ref", "offset"])
 
     # Flatten array<struct> into four parallel primitive arrays BEFORE the
-    # Arrow boundary: pyarrow→pandas conversion of array<struct> builds one
-    # Python dict per span (measured ~2.5x the whole kernel cost); four
-    # primitive list columns convert as flat buffers.  JVM-side projection,
-    # still zero shuffles.
+    # Arrow boundary: Arrow conversion of array<struct> builds one Python
+    # dict per span (measured ~2.5x the whole kernel cost); four primitive
+    # list columns convert as flat buffers.  JVM-side projection, still
+    # zero shuffles.  mapInArrow (not mapInPandas): the kernel loop needs
+    # plain Python lists, so the pandas Series/Block layer in between is
+    # pure overhead on both sides of the boundary.
     flat = df.select(
         "doc_id",
         F.col("spans.kind").alias("_kinds"),
@@ -173,7 +181,7 @@ def extract_spans_doc(df: DataFrame, *, reference_compat: bool = False,
         F.col("spans.media_ref").alias("_refs"),
         F.col("spans.offset").alias("_offsets"),
     )
-    return flat.mapInPandas(process, schema=OUT_SCHEMA)
+    return flat.mapInArrow(process, schema=OUT_SCHEMA)
 
 
 @F.pandas_udf(_FRAGMENT_SCHEMA)
@@ -517,10 +525,13 @@ def extract_spans_exploded(df_exploded: DataFrame, *,
     if not has_chunk:
         df_exploded = df_exploded.withColumn("_chunk", F.lit(0))
 
-    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def process(batches):
+        import pyarrow as pa
+
         from html_qt_spark.kernel.extractor import extract_html
 
-        for pdf in batches:
+        str_t, int_t = pa.string(), pa.int32()
+        for rb in batches:
             doc_ids: list[str] = []
             offsets: list[int] = []
             chunks: list[int] = []
@@ -529,8 +540,9 @@ def extract_spans_exploded(df_exploded: DataFrame, *,
             texts: list[str | None] = []
             refs: list[str | None] = []
             for doc_id, offset, chunk, kind, html, ref in zip(
-                    pdf["doc_id"], pdf["offset"], pdf["_chunk"],
-                    pdf["kind"], pdf["text"], pdf["media_ref"]):
+                    rb.column(0).to_pylist(), rb.column(1).to_pylist(),
+                    rb.column(2).to_pylist(), rb.column(3).to_pylist(),
+                    rb.column(4).to_pylist(), rb.column(5).to_pylist()):
                 if kind == "media":
                     if isinstance(html, (bytes, bytearray)):
                         html = bytes(html).decode("utf-8", "replace")
@@ -562,13 +574,20 @@ def extract_spans_exploded(df_exploded: DataFrame, *,
                     kinds.append(QUARANTINE_KIND)
                     texts.append(f"{type(exc).__name__}:{exc}"[:512])
                     refs.append(None)
-            yield pd.DataFrame({
-                "doc_id": doc_ids, "offset": offsets, "_chunk": chunks,
-                "_inner": inners, "kind": kinds, "text": texts,
-                "media_ref": refs,
-            })
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(doc_ids, str_t), pa.array(offsets, int_t),
+                 pa.array(chunks, int_t), pa.array(inners, int_t),
+                 pa.array(kinds, str_t), pa.array(texts, str_t),
+                 pa.array(refs, str_t)],
+                names=["doc_id", "offset", "_chunk", "_inner", "kind",
+                       "text", "media_ref"])
 
-    extracted = df_exploded.mapInPandas(process, schema=_EXPLODED_MID_SCHEMA)
+    # explicit projection pins the positional column order the Arrow UDF
+    # reads AND guarantees only these six columns cross the boundary
+    # (guide §4.1: an opaque function otherwise ships every column)
+    narrow = df_exploded.select(
+        "doc_id", "offset", "_chunk", "kind", "text", "media_ref")
+    extracted = narrow.mapInArrow(process, schema=_EXPLODED_MID_SCHEMA)
     w = Window.partitionBy("doc_id").orderBy("offset", "_chunk", "_inner")
     return (
         extracted

@@ -60,10 +60,34 @@ def decode_media(media_refs: DataFrame, *, ref_col: str = "media_ref"
     """
 
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
+        # Vectorized batch path (optimization guide §4.2: hand whole
+        # batches to native libraries inside the UDF).  The rolling hash
+        # h = fold(h*131 + ord(ch)) mod 2^31 is a polynomial, so it
+        # vectorizes exactly over the Arrow string buffer: per-char
+        # contribution ord(ch) * 131^(len-1-pos) mod 2^31, summed per
+        # ref with np.add.reduceat.  Bit-identical to _fake_decode for
+        # ASCII refs (pinned by tests); non-ASCII or empty refs fall
+        # back to the scalar path, whose results are the contract.
+        import numpy as np
+        import pyarrow as pa
+
+        pw_cache: dict[int, np.ndarray] = {}
+
+        def powers(maxlen: int) -> np.ndarray:
+            pw = pw_cache.get(maxlen)
+            if pw is None:
+                pw = np.empty(maxlen, dtype=np.int64)
+                acc = 1
+                for k in range(maxlen):
+                    pw[k] = acc
+                    acc = (acc * 131) & 0x7FFFFFFF
+                pw_cache[maxlen] = pw
+            return pw
+
+        def scalar(refs) -> pd.DataFrame:
             rows = {"media_ref": [], "modality": [], "width": [],
                     "height": [], "duration_ms": [], "feature": []}
-            for ref in pdf[ref_col]:
+            for ref in refs:
                 if ref is None:
                     continue
                 modality, w, hgt, dur, feat = _fake_decode(ref)
@@ -73,7 +97,59 @@ def decode_media(media_refs: DataFrame, *, ref_col: str = "media_ref"
                 rows["height"].append(hgt)
                 rows["duration_ms"].append(dur)
                 rows["feature"].append(feat)
-            yield pd.DataFrame(rows)
+            return pd.DataFrame(rows)
+
+        for pdf in batches:
+            col = pdf[ref_col]
+            arr = pa.array(col, type=pa.string())
+            if arr.null_count:
+                arr = arr.drop_null()
+            n = len(arr)
+            if n == 0:
+                yield scalar([])
+                continue
+            offs = np.frombuffer(arr.buffers()[1], dtype=np.int32)
+            offs = offs[arr.offset:arr.offset + n + 1].astype(np.int64)
+            data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+            starts, ends = offs[:-1], offs[1:]
+            lens = ends - starts
+            seg = data[starts[0]:ends[-1]]
+            if lens.min() == 0 or seg.max(initial=0) > 127:
+                # empty or non-ASCII ref: the scalar path is the contract
+                yield scalar(col)
+                continue
+            # per-char exponents: ends[i]-1-pos for pos in [starts[i],ends[i])
+            abs_pos = np.arange(starts[0], ends[-1], dtype=np.int64)
+            expo = np.repeat(ends, lens) - 1 - abs_pos
+            contrib = seg.astype(np.int64) * powers(int(lens.max()))[expo]
+            hs = np.add.reduceat(contrib, starts - starts[0]) % 0x80000000
+            # modality: full 6-byte prefix match, vectorized
+            p = starts
+
+            def prefix_is(txt: str) -> np.ndarray:
+                m = lens >= len(txt)
+                for k, ch in enumerate(txt):
+                    m &= data[np.minimum(p + k, len(data) - 1)] == ord(ch)
+                return m
+            is_img = prefix_is("img://")
+            is_vid = prefix_is("vid://")
+            is_aud = prefix_is("aud://")
+            modality = np.where(
+                is_img, "image", np.where(
+                    is_vid, "video", np.where(
+                        is_aud, "audio", "unknown")))
+            width = 160 + hs % 1920
+            height = 90 + (hs >> 8) % 1080
+            duration = np.where(is_img, 0, 1000 + (hs >> 16) % 600000)
+            feature = (((hs[:, None] >> np.arange(8)) % 256) / 255.0).tolist()
+            yield pd.DataFrame({
+                "media_ref": arr.to_pylist(),
+                "modality": modality,
+                "width": width,
+                "height": height,
+                "duration_ms": duration,
+                "feature": feature,
+            })
 
     return media_refs.select(ref_col).mapInPandas(
         process, schema=MEDIA_META_SCHEMA)

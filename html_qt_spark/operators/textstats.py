@@ -10,6 +10,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..plans.spread import spread_input
+
 # Tiny per-language stopword sets for the n-gram/stopword language-ID
 # heuristic (public common-word lists; deliberately small and frozen so
 # results are deterministic and oracle-reproducible).
@@ -35,7 +37,7 @@ def quality_score(docs: DataFrame) -> DataFrame:
     """Per-doc quality features: token count, vocabulary size (distinct
     tokens), chars, and mean token length x100 as an integer (integer so
     the DuckDB oracle matches bit-for-bit — no float rounding drift)."""
-    toks = docs.select(
+    toks = spread_input(docs, "doc_id").select(
         "doc_id", F.explode(F.split("text", " ")).alias("tok")
     ).filter(F.col("tok") != "")
     return (
