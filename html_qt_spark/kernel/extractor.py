@@ -245,6 +245,9 @@ def extract_metadata(tb: TreeBuilder) -> tuple[str | None, str | None,
     return title, description, canonical, lang
 
 
+_fast_extract = None
+
+
 def extract_html(
     html_text: str | bytes,
     *,
@@ -265,6 +268,19 @@ def extract_html(
     if isinstance(html_text, (bytes, bytearray, memoryview)):
         from .encoding import decode_html
         html_text = decode_html(bytes(html_text))
+    if fragment_context is None and not reference_compat:
+        # streaming fast path: same restricted grammar as the fast
+        # parser, but extraction state runs inline during the scan so no
+        # DOM is materialized at all; bails to the full pipeline on
+        # anything outside the grammar (fastparse.py docstring)
+        global _fast_extract
+        if _fast_extract is None:
+            from .fastparse import fast_extract as _fast_extract  # noqa: PLW0603
+        spans = _fast_extract(html_text,
+                              max_link_density=max_link_density,
+                              min_words=min_words)
+        if spans is not None:
+            return spans
     if fragment_context is not None:
         # innerHTML semantics: parse as the contents of the context
         # element (a crawl storing table cells / option lists / svg

@@ -949,7 +949,8 @@ def frequent_ngrams(docs: DataFrame, *, n: int = 5, k: int = 20,
     toks = F.filter(
         F.split(F.coalesce(F.col(text_col), F.lit("")), " "),
         lambda t: t != "")
-    grams = docs.select("doc_id", toks.alias("_ts")).select(
+    grams = spread_input(docs, "doc_id").select(
+        "doc_id", toks.alias("_ts")).select(
         "doc_id",
         F.explode(
             F.transform(
@@ -958,9 +959,16 @@ def frequent_ngrams(docs: DataFrame, *, n: int = 5, k: int = 20,
                 lambda _x, i: F.concat_ws(
                     " ", F.slice(F.col("_ts"), i + 1, n)),
             )).alias("ngram"))
-    return (grams.groupBy("ngram")
-            .agg(F.countDistinct("doc_id").alias("n_docs"),
-                 F.count("*").alias("n_occurrences"))
+    # two combine-friendly aggregations instead of countDistinct: the
+    # per-(doc, ngram) pre-count collapses within-doc repeats in the
+    # map-side partial agg BEFORE anything is shuffled (a countDistinct
+    # here forces the full (ngram, doc_id) stream through the first
+    # exchange); n_docs is then a plain count and n_occurrences a sum —
+    # identical results, partial aggregation in both phases.
+    per_doc = grams.groupBy("doc_id", "ngram").agg(F.count("*").alias("_c"))
+    return (per_doc.groupBy("ngram")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("_c").alias("n_occurrences"))
             .where(F.col("n_occurrences") >= min_count)
             .orderBy(F.col("n_occurrences").desc(),
                      F.col("n_docs").desc(), "ngram")

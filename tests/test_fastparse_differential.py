@@ -44,12 +44,22 @@ def state(tb: TreeBuilder) -> tuple:
 
 def assert_equivalent(html: str) -> bool:
     """Returns True when the fast path accepted the input."""
+    from html_qt_spark.kernel.extractor import extract_spans
+    from html_qt_spark.kernel.fastparse import fast_extract
+
     fast = try_fast_parse(html)
-    if fast is None:
-        return False
-    slow = slow_parse(html)
-    assert state(fast) == state(slow), html
-    return True
+    slow = None
+    if fast is not None:
+        slow = slow_parse(html)
+        assert state(fast) == state(slow), html
+    # streaming extraction must agree with the DOM walk wherever it
+    # accepts — independently of whether try_fast_parse accepted
+    spans = fast_extract(html)
+    if spans is not None:
+        if slow is None:
+            slow = slow_parse(html)
+        assert spans == extract_spans(slow), html
+    return fast is not None
 
 
 def test_bench_span_shapes_accepted():
@@ -122,11 +132,24 @@ def _random_doc(rng: random.Random) -> str:
         elif r < 0.80:
             # end tag, frequently mis-nested on purpose
             parts.append(f"</{rng.choice(TAGS)}>")
-        elif r < 0.90:
+        elif r < 0.88:
             v = rng.choice(VOIDS)
-            parts.append(f"<{v}>" if rng.random() < 0.5 else f"<{v}/>")
+            if v in ("img", "embed", "source") and rng.random() < 0.6:
+                parts.append(
+                    f'<{v} src="m://{rng.randint(0, 9)}"'
+                    + (' alt="an alt"' if rng.random() < 0.4 else "")
+                    + (">" if rng.random() < 0.5 else "/>"))
+            else:
+                parts.append(f"<{v}>" if rng.random() < 0.5 else f"<{v}/>")
+        elif r < 0.94:
+            # ignored start tags / stray end tags BETWEEN text runs merge
+            # adjacent #text nodes — the word-count-sensitive case
+            parts.append(rng.choice(["wordA", "a b", "x"]))
+            parts.append(rng.choice(
+                ["<caption>", "<tr>", "<td>", "</article>", "</span>"]))
+            parts.append(rng.choice(["wordB", "c d", "y"]))
         else:
-            t = rng.choice(TAGS)
+            t = rng.choice(TAGS + ["video", "audio"])
             parts.append(f"<{t}>{rng.choice(['x', 'y words'])}</{t}>")
     return "".join(parts)
 
