@@ -695,72 +695,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                        max_len=4)
 
     # Registration ORDER is part of the driver contract: the driver's
-    # correctness artifact caps at the FIRST 50 entries.  Round-5 order
-    # (VERDICT r4 task #2): the 24 queries with no r4 driver row lead
-    # (r1-r3 green, rotated back in); the 6 entries whose operators
-    # changed this round follow (they NEED fresh rows); then 20
-    # r4-green entries stay in-cap — kernel-consuming extraction
-    # queries first, since the round-5 template-fragment work touches
-    # the tree builder.  The 26 past-cap entries are all r4-green, so
-    # across r4+r5 every registered query has a driver-green row.  All
+    # correctness artifact caps at the FIRST 50 entries.  Round-6 order
+    # (VERDICT r5 task #3): the 31 entries past the r5 cap lead — their
+    # newest driver rows are from r4, two rounds stale; then every query
+    # whose operator the round-6 optimization touched (extraction fast
+    # path, MinHash spread/plan changes, vectorized decode, the
+    # frequent_ngrams rewrite) stays in-cap so the driver re-verifies
+    # them this round; the slots left fill with round-5 entries.  The 31
+    # entries now past the cap are all r5-driver-green, so across r5+r6
+    # every registered query keeps a green row within two rounds.  All
     # entries remain locally parity-checked regardless of position
     # (tools/check_parity.py runs the full dict).
     return {
-        # -- no r4 driver row: rotated into the cap (r1-r3 green) ------
-        "json_meta": q_json_meta,
-        "winnowing": q_winnowing,
-        "nfc_normalize": q_nfc_normalize,
-        "para_dedup": q_para_dedup,
-        "para_filter_common": q_para_filter_common,
-        "tfidf_top": q_tfidf_top,
-        "length_percentiles": q_length_percentiles,
-        "explode_spans": q_explode_spans,
-        "media_filter": q_media_filter,
-        "span_stats": q_span_stats,
-        "span_order": q_span_order,
-        "media_join": q_media_join,
-        "metrics_rollup": q_metrics_rollup,
-        "exact_dedup": q_exact_dedup,
-        "minhash_signatures": q_minhash_signatures,
-        "token_count": q_token_count,
-        "quality_score": q_quality_score,
-        "lang_id": q_lang_id,
-        "fingerprint": q_fingerprint,
-        "lang_dist": q_lang_dist,
-        "pricing_summary": q_pricing_summary,
-        "top_customers": q_top_customers,
-        "region_nation_rollup": q_region_nation_rollup,
-        "regex_tokens": q_regex_tokens,
-        # -- operators changed in round 5: need fresh driver rows ------
-        "shard_manifest": q_shard_manifest,
-        "mask_runs": q_mask_runs,
-        "semantic_dedup": q_semantic_dedup,
-        "semantic_dedup_star": q_semantic_dedup_star,
-        "bpe_merges": q_bpe_merges,
-        "bpe_apply": q_bpe_apply,
-        # -- new in round 5 --------------------------------------------
-        "mask_runs_char": q_mask_runs_char,
-        "hash_split": q_hash_split,
-        "frequent_ngrams": q_frequent_ngrams,
-        "dsir_weights": q_dsir_weights,
-        "ppl_buckets": q_ppl_buckets,
-        # -- r4-green, kept in-cap (kernel-consuming extraction first) -
-        "extract_doc": q_extract_doc,
-        "extract_exploded": q_extract_exploded,
-        "extract_compat": q_extract_compat,
-        "extract_chunked": q_extract_chunked,
-        "extract_fragments": q_extract_fragments,
-        "extract_markdown": q_extract_markdown,
-        "doc_parse_stats": q_doc_parse_stats,
-        "minhash_lsh_pairs": q_minhash_lsh_pairs,
-        "lsh_pairs_megabucket": q_lsh_pairs_megabucket,
-        "dup_components": q_dup_components,
-        "dup_components_star": q_dup_components_star,
-        "chunk_docs": q_chunk_docs,
-        "chunk_subword": q_chunk_subword,
-        "subword_tokens": q_subword_tokens,
-        "pack_shards": q_pack_shards,
-        # -- past the 50-row cap: all r4-driver-green ------------------
+        # -- no r5 driver row (r4-green): rotated into the cap ---------
         "kmv_distinct": q_kmv_distinct,
         "classifier_score": q_classifier_score,
         "media_decode": q_media_decode,
@@ -792,6 +739,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_sample": q_temperature_sample,
         "repetition": q_repetition,
         "entropy": q_entropy,
+        # -- operators touched by the round-6 optimization -------------
+        "extract_doc": q_extract_doc,
+        "extract_exploded": q_extract_exploded,
+        "extract_compat": q_extract_compat,
+        "extract_chunked": q_extract_chunked,
+        "extract_fragments": q_extract_fragments,
+        "extract_markdown": q_extract_markdown,
+        "doc_parse_stats": q_doc_parse_stats,
+        "minhash_signatures": q_minhash_signatures,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "lsh_pairs_megabucket": q_lsh_pairs_megabucket,
+        "dup_components": q_dup_components,
+        "dup_components_star": q_dup_components_star,
+        "quality_score": q_quality_score,
+        "frequent_ngrams": q_frequent_ngrams,
+        "exact_dedup": q_exact_dedup,
+        "span_stats": q_span_stats,
+        # -- r5-green fillers to the 50-row cap ------------------------
+        "token_count": q_token_count,
+        "mask_runs_char": q_mask_runs_char,
+        "hash_split": q_hash_split,
+        # -- past the 50-row cap: all r5-driver-green ------------------
+        "json_meta": q_json_meta,
+        "winnowing": q_winnowing,
+        "nfc_normalize": q_nfc_normalize,
+        "para_dedup": q_para_dedup,
+        "para_filter_common": q_para_filter_common,
+        "tfidf_top": q_tfidf_top,
+        "length_percentiles": q_length_percentiles,
+        "explode_spans": q_explode_spans,
+        "media_filter": q_media_filter,
+        "span_order": q_span_order,
+        "media_join": q_media_join,
+        "metrics_rollup": q_metrics_rollup,
+        "lang_id": q_lang_id,
+        "fingerprint": q_fingerprint,
+        "lang_dist": q_lang_dist,
+        "pricing_summary": q_pricing_summary,
+        "top_customers": q_top_customers,
+        "region_nation_rollup": q_region_nation_rollup,
+        "regex_tokens": q_regex_tokens,
+        "shard_manifest": q_shard_manifest,
+        "mask_runs": q_mask_runs,
+        "semantic_dedup": q_semantic_dedup,
+        "semantic_dedup_star": q_semantic_dedup_star,
+        "bpe_merges": q_bpe_merges,
+        "bpe_apply": q_bpe_apply,
+        "dsir_weights": q_dsir_weights,
+        "ppl_buckets": q_ppl_buckets,
+        "chunk_docs": q_chunk_docs,
+        "chunk_subword": q_chunk_subword,
+        "subword_tokens": q_subword_tokens,
+        "pack_shards": q_pack_shards,
     }
 
 

@@ -59,7 +59,7 @@ def decode_media(media_refs: DataFrame, *, ref_col: str = "media_ref"
     skew decode tasks.
     """
 
-    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def process(batches):
         # Vectorized batch path (optimization guide §4.2: hand whole
         # batches to native libraries inside the UDF).  The rolling hash
         # h = fold(h*131 + ord(ch)) mod 2^31 is a polynomial, so it
@@ -68,9 +68,16 @@ def decode_media(media_refs: DataFrame, *, ref_col: str = "media_ref"
         # ref with np.add.reduceat.  Bit-identical to _fake_decode for
         # ASCII refs (pinned by tests); non-ASCII or empty refs fall
         # back to the scalar path, whose results are the contract.
+        # mapInArrow end to end: the input column arrives as the exact
+        # Arrow string array the hash reads, and outputs leave as Arrow
+        # arrays built straight from the numpy results — no pandas.
         import numpy as np
         import pyarrow as pa
 
+        str_t, int_t = pa.string(), pa.int32()
+        feat_t = pa.list_(pa.float32())
+        names = ["media_ref", "modality", "width", "height",
+                 "duration_ms", "feature"]
         pw_cache: dict[int, np.ndarray] = {}
 
         def powers(maxlen: int) -> np.ndarray:
@@ -84,7 +91,7 @@ def decode_media(media_refs: DataFrame, *, ref_col: str = "media_ref"
                 pw_cache[maxlen] = pw
             return pw
 
-        def scalar(refs) -> pd.DataFrame:
+        def scalar(refs) -> "pa.RecordBatch":
             rows = {"media_ref": [], "modality": [], "width": [],
                     "height": [], "duration_ms": [], "feature": []}
             for ref in refs:
@@ -97,11 +104,16 @@ def decode_media(media_refs: DataFrame, *, ref_col: str = "media_ref"
                 rows["height"].append(hgt)
                 rows["duration_ms"].append(dur)
                 rows["feature"].append(feat)
-            return pd.DataFrame(rows)
+            return pa.RecordBatch.from_arrays(
+                [pa.array(rows["media_ref"], str_t),
+                 pa.array(rows["modality"], str_t),
+                 pa.array(rows["width"], int_t),
+                 pa.array(rows["height"], int_t),
+                 pa.array(rows["duration_ms"], int_t),
+                 pa.array(rows["feature"], feat_t)], names=names)
 
-        for pdf in batches:
-            col = pdf[ref_col]
-            arr = pa.array(col, type=pa.string())
+        for rb in batches:
+            arr = rb.column(0)
             if arr.null_count:
                 arr = arr.drop_null()
             n = len(arr)
@@ -116,7 +128,7 @@ def decode_media(media_refs: DataFrame, *, ref_col: str = "media_ref"
             seg = data[starts[0]:ends[-1]]
             if lens.min() == 0 or seg.max(initial=0) > 127:
                 # empty or non-ASCII ref: the scalar path is the contract
-                yield scalar(col)
+                yield scalar(arr.to_pylist())
                 continue
             # per-char exponents: ends[i]-1-pos for pos in [starts[i],ends[i])
             abs_pos = np.arange(starts[0], ends[-1], dtype=np.int64)
@@ -141,17 +153,20 @@ def decode_media(media_refs: DataFrame, *, ref_col: str = "media_ref"
             width = 160 + hs % 1920
             height = 90 + (hs >> 8) % 1080
             duration = np.where(is_img, 0, 1000 + (hs >> 16) % 600000)
-            feature = (((hs[:, None] >> np.arange(8)) % 256) / 255.0).tolist()
-            yield pd.DataFrame({
-                "media_ref": arr.to_pylist(),
-                "modality": modality,
-                "width": width,
-                "height": height,
-                "duration_ms": duration,
-                "feature": feature,
-            })
+            # (n, 8) float32 features as one flat buffer -> list array
+            flat = ((hs[:, None] >> np.arange(8)) % 256 / 255.0) \
+                .astype(np.float32).ravel()
+            feature = pa.FixedSizeListArray.from_arrays(
+                pa.array(flat, pa.float32()), 8).cast(feat_t)
+            yield pa.RecordBatch.from_arrays(
+                [arr,
+                 pa.array(modality.tolist(), str_t),
+                 pa.array(width, int_t),
+                 pa.array(height, int_t),
+                 pa.array(duration, int_t),
+                 feature], names=names)
 
-    return media_refs.select(ref_col).mapInPandas(
+    return media_refs.select(ref_col).mapInArrow(
         process, schema=MEDIA_META_SCHEMA)
 
 
