@@ -11,9 +11,6 @@ PIL/ffmpeg is a one-function change on the executor image.
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 

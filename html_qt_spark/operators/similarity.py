@@ -14,8 +14,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..plans.spread import spread_input
-
 
 def _dot(a, b):
     return F.aggregate(
