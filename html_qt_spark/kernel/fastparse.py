@@ -420,6 +420,16 @@ def try_fast_parse(html_text: str) -> TreeBuilder | None:
 # --------------------------------------------------------------------------
 # Streaming extraction: same fast grammar, no DOM.
 #
+# Extra guard beyond try_fast_parse: tags whose SUBTREES the extractor
+# skips (extractor.SKIP_SUBTREES) but which the tree builder treats as
+# ordinary elements — in-body <noscript> and <datalist> have no special
+# in-body handler, so the grammar guards alone would accept them and
+# the streaming extractor would wrongly emit their text/media (the DOM
+# walk never descends into them).  <head> is also in SKIP_SUBTREES but
+# its in-body start tag is IGNORED (no element, no subtree), so content
+# after it extracts identically either way.  Everything else in
+# SKIP_SUBTREES already bails via _IN_BODY_START.
+#
 # ``fast_extract`` runs the identical scanner/stack machine as
 # ``try_fast_parse`` but never materializes node arrays: because the fast
 # grammar builds its tree strictly append-only in document order (no
@@ -435,8 +445,14 @@ from .extractor import (  # noqa: E402  (import placed after shared tables)
     BLOCK_TAGS,
     BOILERPLATE_CONTAINERS,
     MEDIA_TAGS,
+    SKIP_SUBTREES,
     _norm,
 )
+
+_SKIP_ORDINARY = frozenset(
+    t for t in SKIP_SUBTREES
+    if t not in _IN_BODY_START and not t.startswith("#") and t != "head")
+assert _SKIP_ORDINARY == {"noscript", "datalist"}, _SKIP_ORDINARY
 
 
 def fast_extract(html_text: str, *, max_link_density: float = 0.5,
@@ -705,7 +721,8 @@ def fast_extract(html_text: str, *, max_link_density: float = 0.5,
         name = fm.group(1).lower()
         pos = fm.end()
         handler_known = name in _HANDLED_STARTS
-        if not handler_known and name in _IN_BODY_START:
+        if not handler_known and (name in _IN_BODY_START
+                                  or name in _SKIP_ORDINARY):
             return None
         blob = fm.group(2)
         if blob:

@@ -39,6 +39,15 @@ def _tokens(docs: DataFrame) -> DataFrame:
     ).filter(F.col("tok") != "")
 
 
+def _token_arrays(docs: DataFrame) -> DataFrame:
+    """(doc_id, ts: array<string>) — spread + split + empty-filter, the
+    shared tokenization both MinHash families build shingles from."""
+    return spread_input(docs, "doc_id").select(
+        "doc_id",
+        F.filter(F.split("text", " "), lambda t: t != "").alias("ts"),
+    )
+
+
 def shingles(docs: DataFrame, *, n: int = 3) -> DataFrame:
     """(doc_id, shingle) word n-gram shingles, JVM-side.
 
@@ -48,10 +57,7 @@ def shingles(docs: DataFrame, *, n: int = 3) -> DataFrame:
     vocabulary (every doc collides); n>=3 keeps LSH candidate sets sparse.
     Docs with fewer than n tokens emit no shingles.
     """
-    toks = spread_input(docs, "doc_id").select(
-        "doc_id",
-        F.filter(F.split("text", " "), lambda t: t != "").alias("ts"),
-    )
+    toks = _token_arrays(docs)
     return toks.select(
         "doc_id",
         F.explode(
@@ -100,10 +106,7 @@ def minhash_signatures(docs: DataFrame, *, num_hashes: int = 8,
     # tests/test_minhash_family.py pins the family-invariant properties
     # against the md5 oracle family.
     n = shingle_n
-    toks = spread_input(docs, "doc_id").select(
-        "doc_id",
-        F.filter(F.split("text", " "), lambda t: t != "").alias("ts"),
-    )
+    toks = _token_arrays(docs)
     hashed = toks.select(
         "doc_id",
         F.explode(

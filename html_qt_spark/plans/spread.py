@@ -29,6 +29,12 @@ def spread_input(df: DataFrame, *cols: str) -> DataFrame:
     key).  Keyed repartitioning skips the local sort a round-robin
     repartition pays (SPARK-23207) and lets a same-key downstream
     aggregation reuse the exchange.
+
+    Cost note: reading the partition count via ``df.rdd`` compiles the
+    upstream plan once at build time on the driver.  The wrapped
+    operators sit directly on table scans (cheap plans), and the probe
+    runs once per query build, not per execution — accepted trade for
+    not silently single-coring an unsplittable input.
     """
     sc = df.sparkSession.sparkContext
     cores = sc.defaultParallelism

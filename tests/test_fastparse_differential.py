@@ -108,7 +108,10 @@ def test_conformance_fixture_payloads():
 
 TAGS = ["p", "div", "h1", "h2", "nav", "footer", "section", "ul", "li",
         "dd", "dt", "dl", "span", "em", "strong", "b", "i", "a", "code",
-        "article", "blockquote", "figure", "figcaption", "main", "aside"]
+        "article", "blockquote", "figure", "figcaption", "main", "aside",
+        # skipped-subtree tags that are ORDINARY to the tree builder —
+        # the streaming extractor must bail on them, not emit their text
+        "noscript", "datalist"]
 VOIDS = ["br", "img", "hr", "input", "wbr", "embed", "source"]
 
 
@@ -164,6 +167,22 @@ def test_randomized_simple_corpus():
     # the generator stays inside the fast grammar except for adoption/
     # Noah's-Ark/AFE-breaking cases, so acceptance must be high
     assert n_fast > 1500, n_fast
+
+
+def test_skip_subtree_tags_not_extracted():
+    """Regression: in-body <noscript>/<datalist> are ordinary elements
+    to the tree builder but their subtrees are SKIP_SUBTREES for the
+    extractor — the streaming fast path must not emit their content
+    (it bails; the DOM walk is the contract)."""
+    from html_qt_spark.kernel.extractor import extract_html
+
+    assert extract_html(
+        '<div>visible<noscript>hidden<img src="m://px"></noscript>'
+        "tail</div>") == [("text", "visibletail", None)]
+    assert extract_html(
+        "<p>a<datalist>opt</datalist>b</p>") == [("text", "ab", None)]
+    assert_equivalent('<div>x<noscript>y<p>z</p></noscript>w</div>')
+    assert_equivalent("<p>a<datalist><b>c</b></datalist>d</p>")
 
 
 def test_bail_cases_return_none():
