@@ -78,9 +78,13 @@ _WS_NONTRIVIAL = re.compile(r"[\t\n\f\r]| {2}")
 
 
 def _norm(text: str) -> str:
-    # fast path: most extracted blocks are already single-spaced — one
-    # C-level search beats an allocating regex sub
-    if _WS_NONTRIVIAL.search(text) is None:
+    # fast path: most extracted blocks are already single-spaced.
+    # Five memchr/substring scans (each GB/s) beat one alternation-regex
+    # search (~20 MB/s measured) for the same "is collapse non-trivial"
+    # predicate; the allocating regex sub runs only when it would change
+    # something
+    if ("\t" not in text and "\n" not in text and "\f" not in text
+            and "\r" not in text and "  " not in text):
         return text.strip()
     return _WS_COLLAPSE.sub(" ", text).strip()
 
@@ -246,6 +250,7 @@ def extract_metadata(tb: TreeBuilder) -> tuple[str | None, str | None,
 
 
 _fast_extract = None
+_trivial_extract = None
 
 
 def extract_html(
@@ -269,11 +274,21 @@ def extract_html(
         from .encoding import decode_html
         html_text = decode_html(bytes(html_text))
     if fragment_context is None and not reference_compat:
+        # trivial path first: flat single-level fragments resolve with
+        # one C-level regex fullmatch + a 2-4 event pass
+        # (trivialspans.py docstring); rejection is one linear scan
+        global _fast_extract, _trivial_extract
+        if _trivial_extract is None:
+            from .trivialspans import trivial_extract as _trivial_extract  # noqa: PLW0603
+        spans = _trivial_extract(html_text,
+                                 max_link_density=max_link_density,
+                                 min_words=min_words)
+        if spans is not None:
+            return spans
         # streaming fast path: same restricted grammar as the fast
         # parser, but extraction state runs inline during the scan so no
         # DOM is materialized at all; bails to the full pipeline on
         # anything outside the grammar (fastparse.py docstring)
-        global _fast_extract
         if _fast_extract is None:
             from .fastparse import fast_extract as _fast_extract  # noqa: PLW0603
         spans = _fast_extract(html_text,
