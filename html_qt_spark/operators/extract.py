@@ -88,11 +88,200 @@ def extract_spans_doc(df: DataFrame, *, reference_compat: bool = False,
 
     def process(batches):
         # import inside the worker so the kernel ships via --py-files
+        import numpy as np
         import pyarrow as pa
+        import pyarrow.compute as pc
 
         from html_qt_spark.kernel.extractor import extract_html
+        from html_qt_spark.kernel.trivialbatch import vec_trivial
 
         memo: dict[str, list] | None = {} if memoize_spans else None
+        # the vectorized batch path (guide §4.2) handles plain document
+        # parsing; every special mode keeps the row loop
+        vec_enabled = (not reference_compat and fragment_context is None
+                       and not memoize_spans)
+
+        def vec_batch(rb):
+            """Arrow-native batch extraction; None -> use the row loop.
+
+            Only the rare python-path spans (outside the trivial
+            grammar) and quarantine messages are materialized as Python
+            strings; everything else moves by pyarrow take/concat over
+            the input buffers.  Output row order is grouped by span
+            category — the operator's contract orders spans via the
+            explicit span_idx column, which is computed per document
+            exactly as the row loop counts it."""
+            dk, dt, dr, do = (rb.column(1), rb.column(2),
+                              rb.column(3), rb.column(4))
+            if not (pa.types.is_list(dk.type) and pa.types.is_list(dt.type)
+                    and pa.types.is_list(dr.type)
+                    and pa.types.is_list(do.type)):
+                return None
+            if not (pa.types.is_string(dt.type.value_type)
+                    and pa.types.is_string(dk.type.value_type)
+                    and pa.types.is_string(dr.type.value_type)):
+                return None
+            if dk.null_count or dt.null_count or dr.null_count \
+                    or do.null_count:
+                return None  # null span lists: row loop handles them
+            offs = dk.offsets.to_numpy().astype(np.int64)
+            if not (np.array_equal(offs, dt.offsets.to_numpy())
+                    and np.array_equal(offs, dr.offsets.to_numpy())
+                    and np.array_equal(offs, do.offsets.to_numpy())):
+                return None  # ragged struct-of-lists: row loop
+            lo, hi = int(offs[0]), int(offs[-1])
+            kv = dk.values.slice(lo, hi - lo)
+            tvv = dt.values.slice(lo, hi - lo)
+            rvv = dr.values.slice(lo, hi - lo)
+            ovv = do.values.slice(lo, hi - lo)
+            offs = offs - lo
+            n_docs = rb.num_rows
+            n_spans = hi - lo
+            counts = np.diff(offs)
+            span_doc = np.repeat(np.arange(n_docs), counts)
+            ov_np = ovv.to_numpy(zero_copy_only=False).astype(np.int32)
+
+            media = pc.fill_null(pc.equal(kv, "media"), False).to_numpy(
+                zero_copy_only=False)
+            text_ok = pc.fill_null(pc.not_equal(tvv, ""), False).to_numpy(
+                zero_copy_only=False) & ~media
+            if max_span_bytes:
+                oversize = text_ok & (pc.fill_null(pc.utf8_length(tvv), 0)
+                                      .to_numpy(zero_copy_only=False)
+                                      > max_span_bytes)
+            else:
+                oversize = np.zeros(n_spans, dtype=bool)
+
+            vec = vec_trivial(tvv, min_words=min_words,
+                              max_link_density=max_link_density)
+            if vec is None:
+                return None
+            accepted, norm_kept, kept_span = vec
+            accepted = accepted & text_ok & ~oversize
+
+            # python residue: outside the trivial grammar (or oversize,
+            # which must quarantine exactly like the row loop)
+            py_mask = text_ok & ~accepted & ~oversize
+            py_res: dict[int, list] = {}
+            fails: dict[int, str] = {}
+            py_idx = np.flatnonzero(py_mask)
+            if len(py_idx):
+                for j, html in zip(
+                        py_idx,
+                        pc.take(tvv, pa.array(py_idx)).to_pylist()):
+                    try:
+                        py_res[int(j)] = extract_html(
+                            html, reference_compat=reference_compat,
+                            max_link_density=max_link_density,
+                            min_words=min_words,
+                            fragment_context=fragment_context)
+                    except Exception as exc:  # noqa: BLE001 — poison pill
+                        fails[int(j)] = f"{type(exc).__name__}:{exc}"[:512]
+            for j in np.flatnonzero(oversize):
+                n = len(tvv[int(j)].as_py())
+                fails[int(j)] = f"ValueError:oversize-span:{n}"
+
+            # quarantine: first failing span (in document order) wins;
+            # the whole document collapses to one quarantine row
+            q_doc: dict[int, str] = {}
+            for j in sorted(fails):
+                d = int(span_doc[j])
+                if d not in q_doc:
+                    q_doc[d] = fails[j]
+            doc_ok = np.ones(n_docs, dtype=bool)
+            if q_doc:
+                doc_ok[list(q_doc)] = False
+
+            # per-span output counts -> per-doc running span_idx base
+            n_out = np.zeros(n_spans, dtype=np.int64)
+            n_out[media] = 1
+            if len(kept_span):
+                n_out += np.bincount(kept_span, minlength=n_spans)
+            for j, res in py_res.items():
+                n_out[j] = len(res)
+            n_out[~doc_ok[span_doc]] = 0
+            c_excl = np.concatenate(([0], np.cumsum(n_out)[:-1]))
+            doc_base = np.concatenate(
+                ([0], np.cumsum(n_out)))[offs[:-1]]
+            base = c_excl - doc_base[span_doc]
+
+            # media rows
+            jm = np.flatnonzero(media & doc_ok[span_doc])
+            jm_pa = pa.array(jm)
+            # vec rows (drop blocks of quarantined docs)
+            if len(kept_span):
+                vkeep = doc_ok[span_doc[kept_span]]
+                ks = kept_span[vkeep]
+                vec_text = pc.filter(norm_kept, pa.array(vkeep))
+                run_starts = np.concatenate(
+                    ([0], np.flatnonzero(np.diff(ks)) + 1)) \
+                    if len(ks) else np.empty(0, np.int64)
+                within = np.arange(len(ks), dtype=np.int64)
+                if len(ks):
+                    seg_len = np.diff(np.concatenate(
+                        (run_starts, [len(ks)])))
+                    within -= np.repeat(within[run_starts], seg_len)
+            else:
+                ks = np.empty(0, np.int64)
+                vec_text = pa.array([], pa.string())
+                within = np.empty(0, np.int64)
+            # python rows
+            p_doc: list[int] = []
+            p_idx: list[int] = []
+            p_kind: list[str] = []
+            p_text: list[str | None] = []
+            p_ref: list[str | None] = []
+            p_off: list[int] = []
+            for j, res in py_res.items():
+                if not doc_ok[span_doc[j]]:
+                    continue
+                b = int(base[j])
+                d = int(span_doc[j])
+                o = int(ov_np[j])
+                for i, (k, t, m) in enumerate(res):
+                    p_doc.append(d)
+                    p_idx.append(b + i)
+                    p_kind.append(k)
+                    p_text.append(t)
+                    p_ref.append(m)
+                    p_off.append(o)
+            nq = len(q_doc)
+            q_docs = sorted(q_doc)
+
+            nm, nv, np_ = len(jm), len(ks), len(p_doc)
+            doc_sel = np.concatenate([
+                span_doc[jm], span_doc[ks],
+                np.asarray(p_doc, dtype=np.int64),
+                np.asarray(q_docs, dtype=np.int64)])
+            str_ty = pa.string()
+            text_col = pa.concat_arrays([
+                pc.take(tvv, jm_pa).cast(str_ty),
+                (vec_text.combine_chunks()
+                 if isinstance(vec_text, pa.ChunkedArray)
+                 else vec_text).cast(str_ty),
+                pa.array(p_text, str_ty),
+                pa.array([q_doc[d] for d in q_docs], str_ty)])
+            ref_col = pa.concat_arrays([
+                pc.take(rvv, jm_pa).cast(str_ty),
+                pa.nulls(nv, str_ty),
+                pa.array(p_ref, str_ty),
+                pa.nulls(nq, str_ty)])
+            kind_col = pa.array(
+                ["media"] * nm + ["text"] * nv + p_kind
+                + [QUARANTINE_KIND] * nq, str_ty)
+            idx_col = pa.array(np.concatenate([
+                base[jm], base[ks] + within,
+                np.asarray(p_idx, dtype=np.int64),
+                np.zeros(nq, np.int64)]).astype(np.int32), pa.int32())
+            off_col = pa.array(np.concatenate([
+                ov_np[jm], ov_np[ks],
+                np.asarray(p_off, dtype=np.int64),
+                np.zeros(nq, np.int64)]).astype(np.int32), pa.int32())
+            doc_col = pc.take(rb.column(0), pa.array(doc_sel)).cast(str_ty)
+            return pa.RecordBatch.from_arrays(
+                [doc_col, idx_col, kind_col, text_col, ref_col, off_col],
+                names=["doc_id", "span_idx", "kind", "text",
+                       "media_ref", "offset"])
 
         def extract_cached(html: str) -> list:
             if memo is None:
@@ -115,6 +304,11 @@ def extract_spans_doc(df: DataFrame, *, reference_compat: bool = False,
 
         str_t, int_t = pa.string(), pa.int32()
         for rb in batches:
+            if vec_enabled:
+                out = vec_batch(rb)
+                if out is not None:
+                    yield out
+                    continue
             doc_ids: list[str] = []
             span_idxs: list[int] = []
             kinds: list[str] = []
@@ -526,12 +720,110 @@ def extract_spans_exploded(df_exploded: DataFrame, *,
         df_exploded = df_exploded.withColumn("_chunk", F.lit(0))
 
     def process(batches):
+        import numpy as np
         import pyarrow as pa
+        import pyarrow.compute as pc
 
         from html_qt_spark.kernel.extractor import extract_html
+        from html_qt_spark.kernel.trivialbatch import vec_trivial
+
+        vec_enabled = fragment_context is None
+
+        def vec_batch(rb):
+            """Arrow-native flat-row extraction; None -> row loop.
+            Mirrors the row loop exactly: media rows pass through,
+            empty text drops, a failing span quarantines ITSELF (one
+            row), and _inner numbers each span's outputs in order.
+            Row order is grouped by category; the downstream window
+            orders on (offset, _chunk, _inner), never on row order."""
+            kvc, tvc = rb.column(3), rb.column(4)
+            if not (pa.types.is_string(kvc.type)
+                    and pa.types.is_string(tvc.type)):
+                return None
+            n = rb.num_rows
+            media = pc.fill_null(pc.equal(kvc, "media"), False).to_numpy(
+                zero_copy_only=False)
+            text_ok = pc.fill_null(pc.not_equal(tvc, ""), False).to_numpy(
+                zero_copy_only=False) & ~media
+            vec = vec_trivial(tvc, min_words=1, max_link_density=0.5)
+            if vec is None:
+                return None
+            accepted, norm_kept, kept_span = vec
+            accepted = accepted & text_ok
+            py_mask = text_ok & ~accepted
+            py_idx = np.flatnonzero(py_mask)
+            p_row: list[int] = []
+            p_inner: list[int] = []
+            p_kind: list[str] = []
+            p_text: list[str | None] = []
+            p_ref: list[str | None] = []
+            if len(py_idx):
+                for j, html in zip(
+                        py_idx,
+                        pc.take(tvc, pa.array(py_idx)).to_pylist()):
+                    try:
+                        res = extract_html(
+                            html, fragment_context=fragment_context)
+                        for i, (k, t, m) in enumerate(res):
+                            p_row.append(int(j))
+                            p_inner.append(i)
+                            p_kind.append(k)
+                            p_text.append(t)
+                            p_ref.append(m)
+                    except Exception as exc:  # noqa: BLE001 — poison pill
+                        p_row.append(int(j))
+                        p_inner.append(0)
+                        p_kind.append(QUARANTINE_KIND)
+                        p_text.append(f"{type(exc).__name__}:{exc}"[:512])
+                        p_ref.append(None)
+
+            jm = np.flatnonzero(media)
+            jm_pa = pa.array(jm)
+            ks = kept_span
+            if len(ks):
+                run_starts = np.concatenate(
+                    ([0], np.flatnonzero(np.diff(ks)) + 1))
+                within = np.arange(len(ks), dtype=np.int64)
+                seg_len = np.diff(np.concatenate((run_starts, [len(ks)])))
+                within -= np.repeat(within[run_starts], seg_len)
+            else:
+                within = np.empty(0, np.int64)
+            nm, nv, np_ = len(jm), len(ks), len(p_row)
+            row_sel = np.concatenate(
+                [jm, ks, np.asarray(p_row, dtype=np.int64)])
+            row_sel_pa = pa.array(row_sel)
+            str_ty = pa.string()
+            nk = (norm_kept.combine_chunks()
+                  if isinstance(norm_kept, pa.ChunkedArray) else norm_kept)
+            text_col = pa.concat_arrays([
+                pc.take(tvc, jm_pa).cast(str_ty),
+                nk.cast(str_ty),
+                pa.array(p_text, str_ty)])
+            ref_col = pa.concat_arrays([
+                pc.take(rb.column(5), jm_pa).cast(str_ty),
+                pa.nulls(nv, str_ty),
+                pa.array(p_ref, str_ty)])
+            kind_col = pa.array(["media"] * nm + ["text"] * nv + p_kind,
+                                str_ty)
+            inner_col = pa.array(np.concatenate([
+                np.zeros(nm, np.int64), within,
+                np.asarray(p_inner, dtype=np.int64)]).astype(np.int32),
+                pa.int32())
+            return pa.RecordBatch.from_arrays(
+                [pc.take(rb.column(0), row_sel_pa).cast(str_ty),
+                 pc.take(rb.column(1), row_sel_pa).cast(pa.int32()),
+                 pc.take(rb.column(2), row_sel_pa).cast(pa.int32()),
+                 inner_col, kind_col, text_col, ref_col],
+                names=["doc_id", "offset", "_chunk", "_inner", "kind",
+                       "text", "media_ref"])
 
         str_t, int_t = pa.string(), pa.int32()
         for rb in batches:
+            if vec_enabled:
+                out = vec_batch(rb)
+                if out is not None:
+                    yield out
+                    continue
             doc_ids: list[str] = []
             offsets: list[int] = []
             chunks: list[int] = []
