@@ -72,9 +72,6 @@ for _t in BLOCK_TAGS:
     _TAG_CLASS[_t] = _TAG_CLASS.get(_t, 0) | _C_BLOCK
 
 _WS_COLLAPSE = re.compile(r"[ \t\n\f\r]+")
-# anything that makes the collapse non-trivial: a non-space whitespace
-# char or a run of 2+ spaces
-_WS_NONTRIVIAL = re.compile(r"[\t\n\f\r]| {2}")
 
 
 def _norm(text: str) -> str:

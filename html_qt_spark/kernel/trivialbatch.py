@@ -67,8 +67,8 @@ def vec_trivial(tv, *, min_words: int = 1,
     parameters rule the closed form out (negative link-density
     threshold — the 0 <= threshold shortcut would be wrong).
     """
-    if max_link_density < 0:
-        return None
+    if not max_link_density >= 0:
+        return None  # negative or NaN: the 0<=threshold shortcut is wrong
     import numpy as np
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -123,3 +123,41 @@ def vec_trivial(tv, *, min_words: int = 1,
     # flat block position -> local accepted-span ordinal -> input index
     local = np.searchsorted(boffs, kept_pos, side="right") - 1
     return accepted, norm_kept, idx[local]
+
+
+def filter_blocks(norm_kept, kept_span, accepted):
+    """Re-filter a ``vec_trivial`` block set after the caller tightened
+    the accepted mask (media rows, empty text, oversize spans), and
+    compute each surviving block's ordinal within its span.
+
+    ``vec_trivial`` classifies EVERY value in the column — including,
+    say, a media span whose text happens to parse as trivial HTML — so
+    callers that exclude whole categories must drop those spans' blocks
+    too, or they would emit phantom rows (found by review, pinned by
+    tests/test_trivialbatch.py::test_media_text_matching_grammar).
+
+    Returns ``(norm_kept, kept_span, within)`` with normalized empty
+    shapes.  ``within`` stays valid under any later whole-span
+    filtering (ordinals are per span, so removing other spans' blocks
+    cannot change them).
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if len(kept_span):
+        keep = accepted[kept_span]
+        if not keep.all():
+            kept_span = kept_span[keep]
+            norm_kept = pc.filter(norm_kept, pa.array(keep))
+    if isinstance(norm_kept, pa.ChunkedArray):
+        norm_kept = norm_kept.combine_chunks()
+    if not len(kept_span):
+        return pa.array([], pa.string()), np.empty(0, np.int64), \
+            np.empty(0, np.int64)
+    run_starts = np.concatenate(
+        ([0], np.flatnonzero(np.diff(kept_span)) + 1))
+    within = np.arange(len(kept_span), dtype=np.int64)
+    seg_len = np.diff(np.concatenate((run_starts, [len(kept_span)])))
+    within -= np.repeat(within[run_starts], seg_len)
+    return norm_kept, kept_span, within

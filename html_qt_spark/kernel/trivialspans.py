@@ -101,8 +101,8 @@ def trivial_extract(html_text: str, *, max_link_density: float = 0.5,
                     min_words: int = 1) -> list | None:
     """(kind, text, media_ref) spans for trivial-grammar input, else
     None (caller falls back to fast_extract / the full pipeline)."""
-    if max_link_density < 0:
-        return None
+    if not max_link_density >= 0:
+        return None  # negative or NaN: the 0<=threshold shortcut is wrong
     m = _SINGLE_RX.match(html_text)
     if m is not None:
         t = _norm(m.group(2))

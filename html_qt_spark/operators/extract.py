@@ -93,7 +93,10 @@ def extract_spans_doc(df: DataFrame, *, reference_compat: bool = False,
         import pyarrow.compute as pc
 
         from html_qt_spark.kernel.extractor import extract_html
-        from html_qt_spark.kernel.trivialbatch import vec_trivial
+        from html_qt_spark.kernel.trivialbatch import (
+            filter_blocks,
+            vec_trivial,
+        )
 
         memo: dict[str, list] | None = {} if memoize_spans else None
         # the vectorized batch path (guide §4.2) handles plain document
@@ -134,6 +137,8 @@ def extract_spans_doc(df: DataFrame, *, reference_compat: bool = False,
             tvv = dt.values.slice(lo, hi - lo)
             rvv = dr.values.slice(lo, hi - lo)
             ovv = do.values.slice(lo, hi - lo)
+            if ovv.null_count:
+                return None  # null offsets: to_numpy below would mangle
             offs = offs - lo
             n_docs = rb.num_rows
             n_spans = hi - lo
@@ -158,13 +163,30 @@ def extract_spans_doc(df: DataFrame, *, reference_compat: bool = False,
                 return None
             accepted, norm_kept, kept_span = vec
             accepted = accepted & text_ok & ~oversize
+            # vec_trivial classified EVERY value (even media-span text);
+            # drop blocks of spans the category masks just rejected
+            norm_kept, kept_span, within_all = filter_blocks(
+                norm_kept, kept_span, accepted)
 
-            # python residue: outside the trivial grammar (or oversize,
-            # which must quarantine exactly like the row loop)
+            # oversize quarantines are known before any extraction; the
+            # row loop stops a doc at its first failure, so spans after
+            # a known failure need no python work (their rows would be
+            # discarded) — spans BEFORE it still run, and their own
+            # earlier exception would win the quarantine message
+            fails: dict[int, str] = {}
+            for j in np.flatnonzero(oversize):
+                n = len(tvv[int(j)].as_py())
+                fails[int(j)] = f"ValueError:oversize-span:{n}"
+            first_fail = np.full(n_docs, n_spans + 1, dtype=np.int64)
+            for j in fails:
+                d = int(span_doc[j])
+                first_fail[d] = min(first_fail[d], j)
+
+            # python residue: outside the trivial grammar
             py_mask = text_ok & ~accepted & ~oversize
             py_res: dict[int, list] = {}
-            fails: dict[int, str] = {}
-            py_idx = np.flatnonzero(py_mask)
+            py_idx = np.flatnonzero(
+                py_mask & (np.arange(n_spans) < first_fail[span_doc]))
             if len(py_idx):
                 for j, html in zip(
                         py_idx,
@@ -177,9 +199,6 @@ def extract_spans_doc(df: DataFrame, *, reference_compat: bool = False,
                             fragment_context=fragment_context)
                     except Exception as exc:  # noqa: BLE001 — poison pill
                         fails[int(j)] = f"{type(exc).__name__}:{exc}"[:512]
-            for j in np.flatnonzero(oversize):
-                n = len(tvv[int(j)].as_py())
-                fails[int(j)] = f"ValueError:oversize-span:{n}"
 
             # quarantine: first failing span (in document order) wins;
             # the whole document collapses to one quarantine row
@@ -208,19 +227,15 @@ def extract_spans_doc(df: DataFrame, *, reference_compat: bool = False,
             # media rows
             jm = np.flatnonzero(media & doc_ok[span_doc])
             jm_pa = pa.array(jm)
-            # vec rows (drop blocks of quarantined docs)
+            # vec rows (drop blocks of quarantined docs; per-span
+            # ordinals survive whole-span filtering unchanged)
             if len(kept_span):
                 vkeep = doc_ok[span_doc[kept_span]]
                 ks = kept_span[vkeep]
+                within = within_all[vkeep]
                 vec_text = pc.filter(norm_kept, pa.array(vkeep))
-                run_starts = np.concatenate(
-                    ([0], np.flatnonzero(np.diff(ks)) + 1)) \
-                    if len(ks) else np.empty(0, np.int64)
-                within = np.arange(len(ks), dtype=np.int64)
-                if len(ks):
-                    seg_len = np.diff(np.concatenate(
-                        (run_starts, [len(ks)])))
-                    within -= np.repeat(within[run_starts], seg_len)
+                if isinstance(vec_text, pa.ChunkedArray):
+                    vec_text = vec_text.combine_chunks()
             else:
                 ks = np.empty(0, np.int64)
                 vec_text = pa.array([], pa.string())
@@ -248,7 +263,7 @@ def extract_spans_doc(df: DataFrame, *, reference_compat: bool = False,
             nq = len(q_doc)
             q_docs = sorted(q_doc)
 
-            nm, nv, np_ = len(jm), len(ks), len(p_doc)
+            nm, nv = len(jm), len(ks)
             doc_sel = np.concatenate([
                 span_doc[jm], span_doc[ks],
                 np.asarray(p_doc, dtype=np.int64),
@@ -256,9 +271,7 @@ def extract_spans_doc(df: DataFrame, *, reference_compat: bool = False,
             str_ty = pa.string()
             text_col = pa.concat_arrays([
                 pc.take(tvv, jm_pa).cast(str_ty),
-                (vec_text.combine_chunks()
-                 if isinstance(vec_text, pa.ChunkedArray)
-                 else vec_text).cast(str_ty),
+                vec_text.cast(str_ty),
                 pa.array(p_text, str_ty),
                 pa.array([q_doc[d] for d in q_docs], str_ty)])
             ref_col = pa.concat_arrays([
@@ -725,7 +738,10 @@ def extract_spans_exploded(df_exploded: DataFrame, *,
         import pyarrow.compute as pc
 
         from html_qt_spark.kernel.extractor import extract_html
-        from html_qt_spark.kernel.trivialbatch import vec_trivial
+        from html_qt_spark.kernel.trivialbatch import (
+            filter_blocks,
+            vec_trivial,
+        )
 
         vec_enabled = fragment_context is None
 
@@ -740,7 +756,6 @@ def extract_spans_exploded(df_exploded: DataFrame, *,
             if not (pa.types.is_string(kvc.type)
                     and pa.types.is_string(tvc.type)):
                 return None
-            n = rb.num_rows
             media = pc.fill_null(pc.equal(kvc, "media"), False).to_numpy(
                 zero_copy_only=False)
             text_ok = pc.fill_null(pc.not_equal(tvc, ""), False).to_numpy(
@@ -750,6 +765,10 @@ def extract_spans_exploded(df_exploded: DataFrame, *,
                 return None
             accepted, norm_kept, kept_span = vec
             accepted = accepted & text_ok
+            # drop blocks of spans the media/empty masks just rejected
+            # (vec_trivial classified every value, media text included)
+            norm_kept, ks, within = filter_blocks(
+                norm_kept, kept_span, accepted)
             py_mask = text_ok & ~accepted
             py_idx = np.flatnonzero(py_mask)
             p_row: list[int] = []
@@ -779,25 +798,14 @@ def extract_spans_exploded(df_exploded: DataFrame, *,
 
             jm = np.flatnonzero(media)
             jm_pa = pa.array(jm)
-            ks = kept_span
-            if len(ks):
-                run_starts = np.concatenate(
-                    ([0], np.flatnonzero(np.diff(ks)) + 1))
-                within = np.arange(len(ks), dtype=np.int64)
-                seg_len = np.diff(np.concatenate((run_starts, [len(ks)])))
-                within -= np.repeat(within[run_starts], seg_len)
-            else:
-                within = np.empty(0, np.int64)
-            nm, nv, np_ = len(jm), len(ks), len(p_row)
+            nm, nv = len(jm), len(ks)
             row_sel = np.concatenate(
                 [jm, ks, np.asarray(p_row, dtype=np.int64)])
             row_sel_pa = pa.array(row_sel)
             str_ty = pa.string()
-            nk = (norm_kept.combine_chunks()
-                  if isinstance(norm_kept, pa.ChunkedArray) else norm_kept)
             text_col = pa.concat_arrays([
                 pc.take(tvc, jm_pa).cast(str_ty),
-                nk.cast(str_ty),
+                norm_kept.cast(str_ty),
                 pa.array(p_text, str_ty)])
             ref_col = pa.concat_arrays([
                 pc.take(rb.column(5), jm_pa).cast(str_ty),

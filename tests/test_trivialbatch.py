@@ -211,6 +211,63 @@ def test_spark_doc_mode_memoized_matches(spark):
         _expected_doc_rows(EDGE_DOCS)
 
 
+MEDIA_TRAP_DOCS = [
+    # media spans whose TEXT matches the trivial grammar: the batch
+    # classifier sees every value in the column, so these must not leak
+    # phantom 'text' rows (review finding; fixed via filter_blocks)
+    ("m1", [("media", "<p>hello world</p>", "img://1", 0),
+            ("text", "<p>tail</p>", None, 1)]),
+    ("m2", [("media", "<div><p>x</p></div>", "img://2", 0)]),
+    ("m3", [("text", "<p>lead</p>", None, 0),
+            ("media", "<h1>t</h1>", "vid://3", 1),
+            ("text", "<p>end</p>", None, 2)]),
+]
+
+
+def test_media_text_matching_grammar_doc_mode(spark):
+    from html_qt_spark.operators.extract import extract_spans_doc
+
+    df = _mk_nested(spark, MEDIA_TRAP_DOCS)
+    assert _collect6(extract_spans_doc(df)) == \
+        _expected_doc_rows(MEDIA_TRAP_DOCS)
+
+
+def test_media_text_matching_grammar_exploded(spark):
+    from pyspark.sql import types as T
+
+    from html_qt_spark.operators.extract import extract_spans_exploded
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("offset", T.IntegerType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("media_ref", T.StringType()),
+    ])
+    flat = [(d, s[3], s[0], s[1], s[2])
+            for d, spans in MEDIA_TRAP_DOCS for s in spans]
+    got = _collect6(extract_spans_exploded(
+        spark.createDataFrame(flat, schema)))
+    assert got == _expected_doc_rows(MEDIA_TRAP_DOCS)
+
+
+def test_nan_link_density_falls_back():
+    """NaN threshold: every comparison is False, so the full pipeline
+    drops all blocks — the closed-form paths must decline, not keep
+    them."""
+    import math
+
+    from html_qt_spark.kernel.trivialspans import trivial_extract
+
+    assert trivial_extract("<p>a b</p>",
+                           max_link_density=math.nan) is None
+    import pyarrow as pa
+
+    assert vec_trivial(pa.array(["<p>a b</p>"]),
+                       min_words=1, max_link_density=math.nan) is None
+    assert slow_extract("<p>a b</p>", max_link_density=math.nan) == []
+
+
 def test_spark_exploded_mode_edges(spark):
     from pyspark.sql import types as T
 
