@@ -86,10 +86,10 @@ def vec_trivial(tv, *, min_words: int = 1,
     c = pc.replace_substring_regex(sel, pattern=_BOILER, replacement=_SEP)
     c = pc.replace_substring_regex(c, pattern=_TAG_RE2, replacement=_SEP)
     blocks = pc.split_pattern(c, pattern=_SEP)
+    # split_pattern yields at least one piece per (non-null) input, and
+    # idx is non-empty here, so flat is never empty
     flat = blocks.values
     boffs = blocks.offsets.to_numpy().astype(np.int64)
-    if len(flat) == 0:
-        return accepted, empty_blocks, empty_span
 
     # normalize: collapse runs of {space, tab, newline} (the only
     # whitespace the grammar admits) to one space, then strip.  A

@@ -49,6 +49,12 @@ _FRAGMENT_SCHEMA = T.ArrayType(T.StructType([
 
 QUARANTINE_KIND = "__quarantine__"
 
+# extraction thresholds of the exploded path (kept in ONE place: the
+# vectorized batch path and its row-loop fallback must apply the same
+# values, or output would depend on which physical path a batch took)
+_EXPLODED_MIN_WORDS = 1
+_EXPLODED_MAX_LINK_DENSITY = 0.5
+
 
 def extract_spans_doc(df: DataFrame, *, reference_compat: bool = False,
                       max_link_density: float = 0.5,
@@ -151,9 +157,9 @@ def extract_spans_doc(df: DataFrame, *, reference_compat: bool = False,
             text_ok = pc.fill_null(pc.not_equal(tvv, ""), False).to_numpy(
                 zero_copy_only=False) & ~media
             if max_span_bytes:
-                oversize = text_ok & (pc.fill_null(pc.utf8_length(tvv), 0)
-                                      .to_numpy(zero_copy_only=False)
-                                      > max_span_bytes)
+                tlens = pc.fill_null(pc.utf8_length(tvv), 0).to_numpy(
+                    zero_copy_only=False)
+                oversize = text_ok & (tlens > max_span_bytes)
             else:
                 oversize = np.zeros(n_spans, dtype=bool)
 
@@ -175,8 +181,9 @@ def extract_spans_doc(df: DataFrame, *, reference_compat: bool = False,
             # earlier exception would win the quarantine message
             fails: dict[int, str] = {}
             for j in np.flatnonzero(oversize):
-                n = len(tvv[int(j)].as_py())
-                fails[int(j)] = f"ValueError:oversize-span:{n}"
+                # codepoint length comes from the vectorized scan above —
+                # never materialize the (by definition huge) span itself
+                fails[int(j)] = f"ValueError:oversize-span:{int(tlens[j])}"
             first_fail = np.full(n_docs, n_spans + 1, dtype=np.int64)
             for j in fails:
                 d = int(span_doc[j])
@@ -760,7 +767,8 @@ def extract_spans_exploded(df_exploded: DataFrame, *,
                 zero_copy_only=False)
             text_ok = pc.fill_null(pc.not_equal(tvc, ""), False).to_numpy(
                 zero_copy_only=False) & ~media
-            vec = vec_trivial(tvc, min_words=1, max_link_density=0.5)
+            vec = vec_trivial(tvc, min_words=_EXPLODED_MIN_WORDS,
+                              max_link_density=_EXPLODED_MAX_LINK_DENSITY)
             if vec is None:
                 return None
             accepted, norm_kept, kept_span = vec
@@ -782,7 +790,10 @@ def extract_spans_exploded(df_exploded: DataFrame, *,
                         pc.take(tvc, pa.array(py_idx)).to_pylist()):
                     try:
                         res = extract_html(
-                            html, fragment_context=fragment_context)
+                            html,
+                            max_link_density=_EXPLODED_MAX_LINK_DENSITY,
+                            min_words=_EXPLODED_MIN_WORDS,
+                            fragment_context=fragment_context)
                         for i, (k, t, m) in enumerate(res):
                             p_row.append(int(j))
                             p_inner.append(i)
@@ -858,7 +869,10 @@ def extract_spans_exploded(df_exploded: DataFrame, *,
                     continue
                 try:
                     for i, (k, t, m) in enumerate(extract_html(
-                            html, fragment_context=fragment_context)):
+                            html,
+                            max_link_density=_EXPLODED_MAX_LINK_DENSITY,
+                            min_words=_EXPLODED_MIN_WORDS,
+                            fragment_context=fragment_context)):
                         doc_ids.append(doc_id)
                         offsets.append(offset)
                         chunks.append(chunk)
