@@ -150,14 +150,16 @@ Input: {sf_dir} documents x{replication} replication =
 **Scaling efficiency N=8 -> 4N=32: {eff_8_32:.2f}**
 
 Attribution control (tools/mp_control.py — raw multiprocessing running
-the identical kernel on the same spans, zero framework overhead):
-measured 8->32 efficiency 0.92 in the same session, i.e. the kernel and
-the host scale; the residual gap in the Spark pair is neighbor CPU
-steal variance at high core counts (hence best-of-history capability
-sampling).  The plan itself is shuffle-free (scan -> narrow project ->
-mapInPandas), i.e. communication cost is zero and scaling on a real
-multi-node cluster is bounded by input split balance, not by any
-cross-executor exchange.
+the identical kernel on the same spans, zero framework overhead): run
+it in the same session and record both pairs in BENCH/history.json; a
+Spark pair is only meaningful relative to the same-session control
+pair (the host's own ceiling moves with neighbor steal AND with kernel
+speed — a faster per-core kernel saturates DRAM bandwidth at fewer
+cores, so efficiency at FIXED input size legitimately drops as the
+kernel improves).  The plan itself is shuffle-free (scan -> narrow
+project -> mapInArrow), i.e. communication cost is zero and scaling on
+a real multi-node cluster is bounded by input split balance, not by
+any cross-executor exchange.
 
 Methodology:
 - Each run pinned with `taskset -c 0-(N-1)`: the whole process tree (JVM
@@ -173,7 +175,8 @@ Methodology:
   with count() (full materialization, no driver collect).
 - Spans cross the Arrow boundary as four parallel primitive arrays
   (array<struct> -> per-span Python dicts measured ~2.5x the kernel cost).
-- Arrow batch 2048 rows (+14% over 256); partitions = 2x cores.
+- Arrow batch size SPARK_GRAFT_ARROW_BATCH (default 8192);
+  partitions = 2x cores.
 
 Per-query seconds, full suite at local[32] (pinned, 1 repeat):
 {json.dumps(full['queries'], indent=2)}
@@ -183,8 +186,8 @@ Reference comparison: cutelyst/html-qt publishes no benchmarks
 logging is the architecture this engine's run-coalescing kernel replaces.
 The pinned local[32] pipeline reaches {tput[32]:,.0f} docs/s
 ({hi['extract_mb_per_sec']} MB/s) end-to-end; the Spark-free kernel
-control (tools/mp_control.py) peaks ~620k spans/s at 32 cores on the
-same corpus.
+control (tools/mp_control.py) numbers are recorded per session in
+BENCH/history.json.
 """
     cluster = bench_dir / "CLUSTER.md"
     if cluster.exists():
