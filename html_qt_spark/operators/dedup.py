@@ -179,20 +179,9 @@ def minhash_lsh_pairs(docs: DataFrame, *, num_hashes: int = 16,
     # partition, which is exactly the same placement the join shuffle
     # would produce — no new skew exposure, and the cap then drops it.
     w_bucket = Window.partitionBy("band", "bucket")
-    # persist the annotated bucket table: the self-join references it
-    # twice, and (measured, Spark 4.1.2) neither static ReuseExchange
-    # nor AQE stage reuse dedups the two subtrees for this
-    # join-over-window shape — without the persist the WHOLE signature
-    # pipeline (corpus scan, tokenize, shingle hashes, sig aggregation,
-    # band window) executes twice per query (A/B: 0.95-1.2 s vs
-    # 0.45-0.6 s single pass at 50 k docs).  The materialized table is
-    # bands x n_docs short rows (~50 B/row) — tiny next to recomputing
-    # a corpus-sized pipeline; lineage is kept (MEMORY_AND_DISK with
-    # LRU eviction + recompute), so no fault-tolerance cliff.
     annotated = (buckets
                  .withColumn("_n", F.count("*").over(w_bucket))
-                 .withColumn("_hub", F.min("doc_id").over(w_bucket))
-                 .persist())
+                 .withColumn("_hub", F.min("doc_id").over(w_bucket)))
     # The star path costs NO extra plan branch: restrict the LEFT side
     # of the self-join to under-cap members plus mega-bucket hubs.  For
     # a normal bucket both sides hold every member -> full pair set;
@@ -265,20 +254,14 @@ def ngram_jaccard_pairs(docs: DataFrame, *, n: int = 3,
     J = |A∩B| / (|A| + |B| - |A∩B|).
     Returns (doc_a, doc_b, jaccard double).
     """
-    # persist the distinct shingle table: it feeds the size table, the
-    # document-frequency table AND both self-join sides — five
-    # references in all — and (measured, Spark 4.1.2; see
-    # minhash_lsh_pairs) exchange/stage reuse does not dedup them, so
-    # without the persist the corpus is re-scanned and re-shingled per
-    # reference.  The pruned table likewise backs both join sides.
-    shingled = shingles(docs, n=n).distinct().persist()
+    shingled = shingles(docs, n=n).distinct()
     sizes = shingled.groupBy("doc_id").agg(F.count("*").alias("sz"))
     # prune shingles shared by too many docs (stopword-like n-grams):
     # they explode the pair count quadratically at scale
     freq = shingled.groupBy("shingle").agg(F.count("*").alias("df"))
     pruned = shingled.join(
         freq.where(F.col("df").between(2, max_pairs_per_shingle)),
-        "shingle").persist()
+        "shingle")
     a = pruned.alias("a")
     b = pruned.alias("b")
     inter = (

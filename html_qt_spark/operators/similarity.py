@@ -173,11 +173,7 @@ def cosine_dup_pairs(embeddings: DataFrame, *, threshold: float = 0.95,
     else:
         buckets = srp_buckets(embeddings, n_planes=n_planes, dim=dim,
                               hash_fn=hash_fn)
-        # persist: both self-join sides read this table, and exchange/
-        # stage reuse does not dedup the two subtrees (measured — see
-        # dedup.minhash_lsh_pairs), so without it the embedding scan,
-        # SRP hashing and vec_id join all run twice
-        be = embeddings.join(buckets, "vec_id").persist()
+        be = embeddings.join(buckets, "vec_id")
         a = be.alias("a")
         b = be.alias("b")
         pairs = (a.join(b, F.col("a.bucket") == F.col("b.bucket"))
@@ -561,14 +557,9 @@ def _semantic_candidate_pairs(e: DataFrame,
     the pair count stays linear on a degenerate mega-list.  Returns
     (list_id, a_vec, a_emb, b_vec, b_emb)."""
     w_list = Window.partitionBy("list_id")
-    # persist: the hub-star split reads this window output twice and
-    # exchange/stage reuse does not dedup the subtrees (measured — see
-    # dedup.minhash_lsh_pairs), so without it the centroid assignment
-    # pipeline runs once per join side
     annotated = (e
                  .withColumn("_n", F.count("*").over(w_list))
-                 .withColumn("_hub", F.min("vec_id").over(w_list))
-                 .persist())
+                 .withColumn("_hub", F.min("vec_id").over(w_list)))
     left = (annotated
             .where((F.col("_n") <= max_list_size)
                    | (F.col("vec_id") == F.col("_hub")))
